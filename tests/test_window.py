@@ -1,0 +1,118 @@
+"""Window partition / region batching tests — invariants mirrored from the
+reference's in-graph debug assertions (sst_input_layer_v2.py:119-123,210-227):
+flat2window∘window2flat == identity on surviving voxels, per-window token
+caps hold, window ids are consistent."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sst_tpu.ops.window import (
+    BucketSpec,
+    build_flat2win,
+    drop_and_bucket,
+    flat2window,
+    get_window_coors,
+    window2flat,
+    window_key_padding,
+)
+
+SPARSE_SHAPE = (24, 24, 1)  # (x, y, z)
+WIN = (4, 4)
+
+
+def _coords(rng, n, batch=2):
+    b = rng.randint(0, batch, n)
+    z = np.zeros(n, int)
+    y = rng.randint(0, 24, n)
+    x = rng.randint(0, 24, n)
+    return np.stack([b, z, y, x], -1).astype(np.int32)
+
+
+def test_window_coors_grouping(rng):
+    n = 300
+    coords = _coords(rng, n)
+    valid = rng.rand(n) > 0.1
+    for shift in (False, True):
+        win, ciw = get_window_coors(
+            jnp.asarray(coords), SPARSE_SHAPE, WIN, shift, jnp.asarray(valid)
+        )
+        win, ciw = np.asarray(win), np.asarray(ciw)
+        sx = WIN[0] // 2 if shift else 0
+        for i in np.where(valid)[0]:
+            b, _, y, x = coords[i]
+            # same window <=> same (batch, x//4, y//4) after shift
+            wx, wy = (x + sx) // 4 if shift else x // 4, (y + sx) // 4 if shift else y // 4
+            for j in np.where(valid)[0]:
+                b2, _, y2, x2 = coords[j]
+                wx2 = (x2 + sx) // 4 if shift else x2 // 4
+                wy2 = (y2 + sx) // 4 if shift else y2 // 4
+                same = (b == b2) and (wx == wx2) and (wy == wy2)
+                assert (win[i] == win[j]) == same
+            # intra-window coords
+            assert ciw[i, 2] == (x + sx) % 4
+            assert ciw[i, 1] == (y + sx) % 4
+            break  # full O(N^2) only for first valid row; rest spot-checked below
+    # vectorized spot check on shift0
+    win, ciw = get_window_coors(
+        jnp.asarray(coords), SPARSE_SHAPE, WIN, False, jnp.asarray(valid)
+    )
+    win = np.asarray(win)
+    key = coords[:, 0] * 10000 + (coords[:, 3] // 4) * 100 + (coords[:, 2] // 4)
+    for k in np.unique(key[valid]):
+        w = win[valid & (key == k)]
+        assert (w == w[0]).all()
+
+
+BUCKETS = (
+    BucketSpec(max_tokens=4, drop_lower=0, drop_upper=4, max_windows=64),
+    BucketSpec(max_tokens=8, drop_lower=4, drop_upper=8, max_windows=32),
+    BucketSpec(max_tokens=16, drop_lower=8, drop_upper=100000, max_windows=16),
+)
+
+
+def test_drop_and_roundtrip(rng):
+    n = 400
+    coords = _coords(rng, n)
+    valid = rng.rand(n) > 0.1
+    win, ciw = get_window_coors(
+        jnp.asarray(coords), SPARSE_SHAPE, WIN, False, jnp.asarray(valid)
+    )
+    keep, lvl = drop_and_bucket(win, jnp.asarray(valid), BUCKETS, max_total_windows=256)
+    keep_np, lvl_np, win_np = np.asarray(keep), np.asarray(lvl), np.asarray(win)
+
+    # token counts after drop never exceed the bucket cap (reference assert :210-227)
+    for i, b in enumerate(BUCKETS):
+        m = keep_np & (lvl_np == i)
+        if not m.any():
+            continue
+        _, cnts = np.unique(win_np[m], return_counts=True)
+        assert cnts.max() <= b.max_tokens
+
+    f2w = build_flat2win(win, ciw, lvl, keep, BUCKETS)
+    feat = jnp.asarray(rng.randn(n, 6).astype(np.float32))
+    dense = flat2window(feat, f2w)
+    back = window2flat(dense, f2w)
+    ok = np.asarray(f2w.valid)
+    assert ok.sum() > 0
+    np.testing.assert_allclose(np.asarray(back)[ok], np.asarray(feat)[ok], rtol=1e-6)
+
+    # key padding mask consistency: number of real slots == surviving voxels per bucket
+    masks = window_key_padding(f2w)
+    total_real = sum(int((~m).sum()) for m in masks)
+    assert total_real == int(ok.sum())
+
+
+def test_big_window_gets_dropped_to_cap(rng):
+    # 20 voxels in one window with top bucket max_tokens=16 → 4 dropped
+    coords = np.stack(
+        [np.zeros(20, int), np.zeros(20, int), np.arange(20) % 4, (np.arange(20) // 4) % 4],
+        -1,
+    ).astype(np.int32)
+    # all in window (0..3, 0..3)
+    valid = np.ones(20, bool)
+    win, ciw = get_window_coors(
+        jnp.asarray(coords), SPARSE_SHAPE, WIN, False, jnp.asarray(valid)
+    )
+    keep, lvl = drop_and_bucket(win, jnp.asarray(valid), BUCKETS, 64)
+    assert int(np.asarray(keep).sum()) == 16
+    assert (np.asarray(lvl)[np.asarray(keep)] == 2).all()
