@@ -1,0 +1,103 @@
+"""Greedy rotated / nearest BEV NMS with static shapes.
+
+TPU-native equivalent of the reference's iou3d CUDA NMS
+(/root/reference/mmdet3d/ops/iou3d/iou3d_utils.py:31,106) and
+``box3d_multiclass_nms`` (core/post_processing/box3d_nms.py:10).
+
+The suppression loop runs over a statically-capped, score-sorted candidate
+set: precompute the [K, K] IoU matrix once, then a fori_loop sweeps rows —
+identical results to the 64-bit-mask CUDA kernel, MXU/VPU-friendly shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sst_tpu.core.iou import boxes_iou_bev, nearest_iou
+
+
+def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
+    """Row-sweep greedy NMS over a score-descending set. Returns keep mask."""
+    k = iou.shape[0]
+
+    def body(i, keep):
+        alive = keep[i] & valid[i]
+        later = jnp.arange(k) > i
+        sup = alive & later & (iou[i] > thr)
+        return keep & ~sup
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("use_rotate_nms",))
+def nms_bev(boxes, scores, valid, thr: float, use_rotate_nms: bool = True):
+    """NMS over score-sorted 7-dof boxes [K, 7]; returns keep mask [K].
+
+    Caller must pass boxes already sorted by descending score (with padding
+    rows masked via ``valid``); use :func:`topk_presort`.
+    """
+    if use_rotate_nms:
+        iou = boxes_iou_bev(boxes, boxes)
+    else:
+        iou = nearest_iou(boxes, boxes)
+    return _greedy_suppress(iou, valid, thr)
+
+
+def topk_presort(scores, valid, k: int):
+    """Top-k indices by score among valid rows (padding scores → -inf)."""
+    s = jnp.where(valid, scores, -jnp.inf)
+    top_scores, idx = jax.lax.top_k(s, k)
+    return idx, jnp.isfinite(top_scores)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_classes", "nms_pre", "max_num", "use_rotate_nms")
+)
+def box3d_multiclass_nms(
+    boxes,
+    scores,
+    valid,
+    num_classes: int,
+    score_thr: float,
+    nms_thr: float,
+    nms_pre: int,
+    max_num: int,
+    use_rotate_nms: bool = True,
+):
+    """Per-class NMS (box3d_nms.py:10) with static output size.
+
+    Args:
+      boxes: [N, 7+] decoded boxes (shared across classes, mmdet3d-style).
+      scores: [N, num_classes] sigmoid class scores (no background column).
+      valid: [N] bool.
+
+    Returns dict with padded [max_num] results: boxes, scores, labels, valid.
+    """
+    out_boxes, out_scores, out_labels, out_valid = [], [], [], []
+    for cls in range(num_classes):
+        s = scores[:, cls]
+        ok = valid & (s > score_thr)
+        idx, sel_valid = topk_presort(s, ok, min(nms_pre, boxes.shape[0]))
+        cand_boxes = boxes[idx]
+        cand_scores = s[idx]
+        keep = nms_bev(cand_boxes, cand_scores, sel_valid, nms_thr, use_rotate_nms)
+        out_boxes.append(cand_boxes)
+        out_scores.append(jnp.where(keep, cand_scores, -jnp.inf))
+        out_labels.append(jnp.full_like(idx, cls))
+        out_valid.append(keep)
+
+    all_boxes = jnp.concatenate(out_boxes)
+    all_scores = jnp.concatenate(out_scores)
+    all_labels = jnp.concatenate(out_labels)
+    all_valid = jnp.concatenate(out_valid)
+    # global top max_num across classes
+    top_scores, top_idx = jax.lax.top_k(all_scores, max_num)
+    return {
+        "boxes": all_boxes[top_idx],
+        "scores": jnp.where(jnp.isfinite(top_scores), top_scores, 0.0),
+        "labels": all_labels[top_idx],
+        "valid": all_valid[top_idx] & jnp.isfinite(top_scores),
+    }
