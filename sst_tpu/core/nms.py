@@ -32,17 +32,28 @@ def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
     return jax.lax.fori_loop(0, k, body, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("use_rotate_nms",))
-def nms_bev(boxes, scores, valid, thr: float, use_rotate_nms: bool = True):
+def _pairwise_chunked(fn, boxes, chunk: int):
+    """[K, K] pairwise matrix via lax.map over row chunks — bounds the live
+    polygon-clipping intermediates to chunk*K instead of K*K."""
+    k = boxes.shape[0]
+    chunk = min(chunk, k)
+    pad = (-k) % chunk
+    rows = jnp.concatenate([boxes, jnp.zeros((pad, boxes.shape[1]), boxes.dtype)])
+    rows = rows.reshape(-1, chunk, boxes.shape[1])
+    out = jax.lax.map(lambda rb: fn(rb, boxes), rows)
+    return out.reshape(-1, k)[:k]
+
+
+@functools.partial(jax.jit, static_argnames=("use_rotate_nms", "chunk"))
+def nms_bev(boxes, scores, valid, thr: float, use_rotate_nms: bool = True,
+            chunk: int = 256):
     """NMS over score-sorted 7-dof boxes [K, 7]; returns keep mask [K].
 
     Caller must pass boxes already sorted by descending score (with padding
     rows masked via ``valid``); use :func:`topk_presort`.
     """
-    if use_rotate_nms:
-        iou = boxes_iou_bev(boxes, boxes)
-    else:
-        iou = nearest_iou(boxes, boxes)
+    fn = boxes_iou_bev if use_rotate_nms else nearest_iou
+    iou = _pairwise_chunked(fn, boxes, chunk)
     return _greedy_suppress(iou, valid, thr)
 
 

@@ -1,0 +1,193 @@
+"""Host-side (numpy) data pipeline transforms.
+
+Rebuild of /root/reference/mmdet3d/datasets/pipelines/transforms_3d.py and
+loading.py for the transforms the SST/FSD configs use: point loading,
+global rot/scale/trans, random flip, range filters, shuffle, and padding to
+the static point cap. Everything operates on a plain dict sample:
+
+  {"points": [P, C] f32, "gt_boxes": [G, 7+] f32, "gt_labels": [G] i32,
+   "gt_names": list[str], ...}
+
+Augmentations match the reference's semantics (BEV flip flips y or x + yaw;
+global rotation uses the same sign convention as box rotation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sst_tpu.utils.registry import PIPELINES
+
+
+def _rot2d(xy, angle):
+    c, s = np.cos(angle), np.sin(angle)
+    x = xy[..., 0] * c + xy[..., 1] * s
+    y = -xy[..., 0] * s + xy[..., 1] * c
+    return np.stack([x, y], -1)
+
+
+@PIPELINES.register
+class LoadPointsFromFile:
+    """Read a .bin float32 point cloud (KITTI-format layout)."""
+
+    def __init__(self, load_dim: int = 6, use_dim=(0, 1, 2, 3)):
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+
+    def __call__(self, sample):
+        path = sample["pts_filename"]
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, self.load_dim)
+        sample["points"] = pts[:, self.use_dim]
+        return sample
+
+
+@PIPELINES.register
+class GlobalRotScaleTrans:
+    def __init__(self, rot_range=(-0.78539816, 0.78539816),
+                 scale_ratio_range=(0.95, 1.05), translation_std=(0, 0, 0)):
+        self.rot_range = rot_range
+        self.scale_ratio_range = scale_ratio_range
+        self.translation_std = np.asarray(translation_std, np.float32)
+
+    def __call__(self, sample):
+        rng: np.random.RandomState = sample["rng"]
+        angle = rng.uniform(*self.rot_range)
+        scale = rng.uniform(*self.scale_ratio_range)
+        trans = rng.randn(3).astype(np.float32) * self.translation_std
+
+        pts = sample["points"]
+        pts[:, :2] = _rot2d(pts[:, :2], angle)
+        pts[:, :3] = pts[:, :3] * scale + trans
+        sample["points"] = pts
+
+        boxes = sample.get("gt_boxes")
+        if boxes is not None and len(boxes):
+            boxes[:, :2] = _rot2d(boxes[:, :2], angle)
+            boxes[:, 6] += angle
+            boxes[:, :6] *= scale
+            boxes[:, :3] += trans
+            if boxes.shape[1] > 7:
+                boxes[:, 7:9] = _rot2d(boxes[:, 7:9], angle) * scale
+            sample["gt_boxes"] = boxes
+        return sample
+
+
+@PIPELINES.register
+class RandomFlip3D:
+    def __init__(self, flip_ratio_bev_horizontal=0.5, flip_ratio_bev_vertical=0.0):
+        self.ratio_h = flip_ratio_bev_horizontal
+        self.ratio_v = flip_ratio_bev_vertical
+
+    def __call__(self, sample):
+        rng: np.random.RandomState = sample["rng"]
+        boxes = sample.get("gt_boxes")
+        if rng.rand() < self.ratio_h:  # flip y
+            sample["points"][:, 1] *= -1
+            if boxes is not None and len(boxes):
+                boxes[:, 1] *= -1
+                boxes[:, 6] *= -1
+                if boxes.shape[1] > 7:
+                    boxes[:, 8] *= -1
+        if rng.rand() < self.ratio_v:  # flip x
+            sample["points"][:, 0] *= -1
+            if boxes is not None and len(boxes):
+                boxes[:, 0] *= -1
+                boxes[:, 6] = -boxes[:, 6] + np.pi
+                if boxes.shape[1] > 7:
+                    boxes[:, 7] *= -1
+        return sample
+
+
+@PIPELINES.register
+class PointsRangeFilter:
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, sample):
+        p = sample["points"]
+        m = (
+            (p[:, 0] >= self.pcr[0]) & (p[:, 0] < self.pcr[3])
+            & (p[:, 1] >= self.pcr[1]) & (p[:, 1] < self.pcr[4])
+            & (p[:, 2] >= self.pcr[2]) & (p[:, 2] < self.pcr[5])
+        )
+        sample["points"] = p[m]
+        return sample
+
+
+@PIPELINES.register
+class ObjectRangeFilter:
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, sample):
+        b = sample.get("gt_boxes")
+        if b is None or not len(b):
+            return sample
+        m = (
+            (b[:, 0] >= self.pcr[0]) & (b[:, 0] < self.pcr[3])
+            & (b[:, 1] >= self.pcr[1]) & (b[:, 1] < self.pcr[4])
+        )
+        sample["gt_boxes"] = b[m]
+        sample["gt_labels"] = sample["gt_labels"][m]
+        return sample
+
+
+@PIPELINES.register
+class PointShuffle:
+    def __call__(self, sample):
+        rng: np.random.RandomState = sample["rng"]
+        perm = rng.permutation(len(sample["points"]))
+        sample["points"] = sample["points"][perm]
+        return sample
+
+
+@PIPELINES.register
+class PadToCap:
+    """Pad/truncate to the static caps, producing mask arrays — the bridge
+    from ragged host data to fixed-shape device batches."""
+
+    def __init__(self, max_points: int, max_gt: int = 128):
+        self.max_points = max_points
+        self.max_gt = max_gt
+
+    def __call__(self, sample):
+        p = sample["points"]
+        n = min(len(p), self.max_points)
+        if len(p) > self.max_points:
+            # keep a uniform subsample rather than a prefix
+            rng = sample.get("rng", np.random)
+            idx = rng.choice(len(p), self.max_points, replace=False)
+            p = p[idx]
+        out_p = np.zeros((self.max_points, p.shape[1]), np.float32)
+        out_p[:n] = p[:n]
+        valid = np.zeros(self.max_points, bool)
+        valid[:n] = True
+        sample["points"] = out_p
+        sample["points_valid"] = valid
+
+        b = sample.get("gt_boxes")
+        if b is not None:
+            g = min(len(b), self.max_gt)
+            dim = b.shape[1] if len(b) else 7
+            out_b = np.zeros((self.max_gt, dim), np.float32)
+            out_l = np.zeros(self.max_gt, np.int32)
+            gv = np.zeros(self.max_gt, bool)
+            out_b[:g] = b[:g]
+            out_l[:g] = sample["gt_labels"][:g]
+            gv[:g] = True
+            sample["gt_boxes"] = out_b
+            sample["gt_labels"] = out_l
+            sample["gt_valid"] = gv
+        return sample
+
+
+def build_pipeline(cfgs: list[dict]):
+    steps = []
+    for c in cfgs:
+        c = dict(c)
+        steps.append(PIPELINES.build(c))
+    def run(sample):
+        for s in steps:
+            sample = s(sample)
+        return sample
+    return run

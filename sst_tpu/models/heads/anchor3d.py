@@ -1,0 +1,216 @@
+"""Anchor-based BEV detection head.
+
+Rebuild of /root/reference/mmdet3d/models/dense_heads/anchor3d_head.py:23
+(forward :164, loss :308, get_bboxes :381) + per-class target assignment from
+dense_heads/train_mixins.py:134-165. SST's default head
+(configs/_base_/models/sst_base.py:13-44).
+
+Layout: predictions are [B, H, W, A*K] with A = num_classes * num_rots and the
+anchor axis ordered (class_range, rotation) to match the reference's
+cat(dim=-3) of per-range anchors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sst_tpu.core import losses as L
+from sst_tpu.core.anchors import multiclass_aligned_anchors
+from sst_tpu.core.box_coders import delta_decode, delta_encode
+from sst_tpu.core.boxes import limit_period
+from sst_tpu.core.iou import nearest_iou
+from sst_tpu.core.nms import box3d_multiclass_nms
+from sst_tpu.core.target_assign import max_iou_assign
+
+
+class Anchor3DHead(nn.Module):
+    num_classes: int = 3
+    feat_channels: int = 384
+    use_direction_classifier: bool = True
+    anchor_ranges: tuple = (
+        (-74.88, -74.88, -0.0345, 74.88, 74.88, -0.0345),
+        (-74.88, -74.88, -0.1188, 74.88, 74.88, -0.1188),
+        (-74.88, -74.88, 0.0, 74.88, 74.88, 0.0),
+    )
+    anchor_sizes: tuple = ((2.08, 4.73, 1.77), (0.84, 1.81, 1.77), (0.84, 0.91, 1.74))
+    anchor_rotations: tuple = (0.0, 1.5707963)
+    # per-class (pos_iou_thr, neg_iou_thr, min_pos_iou)
+    assigner_thrs: tuple = ((0.55, 0.4, 0.4), (0.5, 0.3, 0.3), (0.5, 0.3, 0.3))
+    dir_offset: float = 0.7854
+    diff_rad_by_sin: bool = True
+    box_code_size: int = 7
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 0.5
+    loss_dir_weight: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_rot(self):
+        return len(self.anchor_rotations)
+
+    @property
+    def num_anchors(self):
+        return self.num_classes * self.num_rot
+
+    def grid_anchors(self, featmap_size):
+        """[num_cls, H*W*num_rot, 7] numpy constant."""
+        return multiclass_aligned_anchors(
+            featmap_size, self.anchor_ranges, self.anchor_sizes, self.anchor_rotations
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [B, H, W, C] → (cls [B,H,W,A,K], reg [B,H,W,A,7], dir [B,H,W,A,2])."""
+        b, h, w, _ = x.shape
+        a = self.num_anchors
+        cls = nn.Conv(a * self.num_classes, (1, 1), dtype=self.dtype, name="conv_cls")(x)
+        reg = nn.Conv(a * self.box_code_size, (1, 1), dtype=self.dtype, name="conv_reg")(x)
+        out = {
+            "cls": cls.reshape(b, h, w, a, self.num_classes),
+            "reg": reg.reshape(b, h, w, a, self.box_code_size),
+        }
+        if self.use_direction_classifier:
+            d = nn.Conv(a * 2, (1, 1), dtype=self.dtype, name="conv_dir_cls")(x)
+            out["dir"] = d.reshape(b, h, w, a, 2)
+        return out
+
+    # ------------------------------------------------------------------ targets
+
+    def _dir_target(self, yaw):
+        rot = limit_period(yaw - self.dir_offset, 0.0, 2 * np.pi)
+        return jnp.clip(jnp.floor(rot / np.pi), 0, 1).astype(jnp.int32)
+
+    def targets_single(self, anchors_by_cls, gt_boxes, gt_labels, gt_valid):
+        """Per-sample targets. anchors_by_cls: [num_cls, M, 7] (M = H*W*rot).
+
+        Returns dict of per-anchor targets flattened to [num_cls*M, ...]
+        with the (class, location, rot) order matching prediction layout after
+        transpose — see :meth:`loss`.
+        """
+        labels, bbox_t, bbox_w, dir_t, pos = [], [], [], [], []
+        for c in range(self.num_classes):
+            anchors = anchors_by_cls[c]
+            p, n_thr, mp = self.assigner_thrs[c]
+            cls_valid = gt_valid & (gt_labels == c)
+            assigned, _ = max_iou_assign(
+                anchors, gt_boxes, cls_valid,
+                pos_thr=p, neg_thr=n_thr, min_pos_iou=mp, iou_fn=nearest_iou,
+            )
+            is_pos = assigned >= 0
+            safe_gt = jnp.maximum(assigned, 0)
+            matched = gt_boxes[safe_gt]
+            lbl = jnp.where(is_pos, c, self.num_classes)  # bg = num_classes
+            lbl = jnp.where(assigned == -2, -1, lbl)  # ignore
+            labels.append(lbl)
+            bt = delta_encode(anchors, matched[:, : self.box_code_size])
+            bbox_t.append(jnp.where(is_pos[:, None], bt, 0.0))
+            bbox_w.append(is_pos.astype(jnp.float32))
+            dir_t.append(jnp.where(is_pos, self._dir_target(matched[:, 6]), 0))
+            pos.append(is_pos)
+        return {
+            "labels": jnp.stack(labels),  # [num_cls, M]
+            "bbox_targets": jnp.stack(bbox_t),
+            "bbox_weights": jnp.stack(bbox_w),
+            "dir_targets": jnp.stack(dir_t),
+            "num_pos": jnp.stack(pos).sum(),
+        }
+
+    # -------------------------------------------------------------------- loss
+
+    @staticmethod
+    def _add_sin_difference(pred, target):
+        """sin(a-b) trick (anchor3d_head.py:292-306)."""
+        sin_p = jnp.sin(pred[..., 6:7]) * jnp.cos(target[..., 6:7])
+        cos_t = jnp.cos(pred[..., 6:7]) * jnp.sin(target[..., 6:7])
+        p = jnp.concatenate([pred[..., :6], sin_p, pred[..., 7:]], -1)
+        t = jnp.concatenate([target[..., :6], cos_t, target[..., 7:]], -1)
+        return p, t
+
+    def loss(self, preds, anchors_by_cls, gt_boxes, gt_labels, gt_valid):
+        """preds from __call__; gt_* are [B, G, ...] padded."""
+        b, h, w, a, k = preds["cls"].shape
+        m = h * w * self.num_rot
+
+        tgt = jax.vmap(
+            functools.partial(self.targets_single, jnp.asarray(anchors_by_cls))
+        )(gt_boxes, gt_labels, gt_valid)
+
+        # prediction layout [B,H,W, cls*rot, K] → [B, cls, H*W*rot, K]
+        def to_cls_major(t):
+            x = t.reshape(b, h * w, self.num_classes, self.num_rot, t.shape[-1])
+            return x.transpose(0, 2, 1, 3, 4).reshape(b, self.num_classes, m, t.shape[-1])
+
+        cls_p = to_cls_major(preds["cls"]).reshape(b, -1, self.num_classes)
+        reg_p = to_cls_major(preds["reg"]).reshape(b, -1, self.box_code_size)
+
+        labels = tgt["labels"].reshape(b, -1)
+        bbox_t = tgt["bbox_targets"].reshape(b, -1, self.box_code_size)
+        bbox_w = tgt["bbox_weights"].reshape(b, -1)
+        num_pos = jnp.maximum(tgt["num_pos"].sum(), 1.0)
+
+        cls_w = (labels >= 0).astype(jnp.float32)  # ignore → 0
+        loss_cls = L.sigmoid_focal_loss(
+            cls_p.reshape(-1, self.num_classes),
+            jnp.maximum(labels.reshape(-1), 0),
+            weight=cls_w.reshape(-1),
+            avg_factor=num_pos,
+        ) * self.loss_cls_weight
+
+        rp, rt = (reg_p, bbox_t)
+        if self.diff_rad_by_sin:
+            rp, rt = self._add_sin_difference(reg_p, bbox_t)
+        loss_bbox = L.l1_loss(
+            rp.reshape(-1, self.box_code_size),
+            rt.reshape(-1, self.box_code_size),
+            weight=bbox_w.reshape(-1),
+            avg_factor=num_pos,
+        ) * self.loss_bbox_weight
+
+        out = {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "num_pos": num_pos}
+        if self.use_direction_classifier:
+            dir_p = to_cls_major(preds["dir"]).reshape(-1, 2)
+            loss_dir = L.cross_entropy_loss(
+                dir_p, tgt["dir_targets"].reshape(-1),
+                weight=bbox_w.reshape(-1), avg_factor=num_pos,
+            ) * self.loss_dir_weight
+            out["loss_dir"] = loss_dir
+        return out
+
+    # -------------------------------------------------------------- inference
+
+    def get_bboxes(self, preds, anchors_by_cls, score_thr=0.1, nms_thr=0.25,
+                   nms_pre=4096, max_num=500, use_rotate_nms=True):
+        """Decode + per-class NMS per sample (anchor3d_head.py:381)."""
+        b, h, w, a, k = preds["cls"].shape
+        m = h * w * self.num_rot
+        anchors_flat = jnp.asarray(anchors_by_cls).reshape(-1, 7)  # [cls*M, 7]
+
+        def single(cls_p, reg_p, dir_p):
+            # [H,W,A,*] → [cls, M, *] → flat
+            def cm(t):
+                x = t.reshape(h * w, self.num_classes, self.num_rot, t.shape[-1])
+                return x.transpose(1, 0, 2, 3).reshape(self.num_classes * m, t.shape[-1])
+
+            scores_all = jax.nn.sigmoid(cm(cls_p))  # [cls*M, K]
+            boxes = delta_decode(anchors_flat, cm(reg_p))
+            if dir_p is not None:
+                dir_score = jnp.argmax(cm(dir_p), axis=-1)
+                rot = limit_period(boxes[..., 6] - self.dir_offset, 0.0, np.pi)
+                yaw = rot + self.dir_offset + np.pi * dir_score
+                boxes = boxes.at[..., 6].set(yaw)
+            valid = jnp.ones(boxes.shape[0], bool)
+            return box3d_multiclass_nms(
+                boxes, scores_all, valid, num_classes=self.num_classes,
+                score_thr=score_thr, nms_thr=nms_thr, nms_pre=nms_pre,
+                max_num=max_num, use_rotate_nms=use_rotate_nms,
+            )
+
+        if self.use_direction_classifier:
+            return jax.vmap(single)(preds["cls"], preds["reg"], preds["dir"])
+        return jax.vmap(lambda c, r: single(c, r, None))(preds["cls"], preds["reg"])

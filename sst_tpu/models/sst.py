@@ -1,0 +1,162 @@
+"""SST backbone: windowed multi-head attention over bucketed dense windows.
+
+TPU rebuild of SSTv2 + BasicShiftBlockV2 + WindowAttention + EncoderLayer
+(/root/reference/mmdet3d/models/backbones/sst_v2.py:17,
+ mmdet3d/models/sst/sst_basic_block_v2.py:14,77,129).
+
+Once region batching has produced fixed [num_windows, max_tokens, C] tensors,
+windowed sparse attention is plain batched dense MHA — exactly what the MXU
+wants. The per-bucket python loop is over a static, small bucket count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sst_tpu.models.layers import ACTIVATIONS
+from sst_tpu.models.sst_input import SSTPlan
+from sst_tpu.ops.window import flat2window, window2flat, window_key_padding
+
+
+class WindowAttention(nn.Module):
+    d_model: int
+    nhead: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, pos, f2w):
+        qk_dense = flat2window(feat + pos.astype(feat.dtype), f2w)
+        v_dense = flat2window(feat, f2w)
+        pads = window_key_padding(f2w)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
+            dtype=self.dtype, name="mha",
+        )
+        outs = []
+        for qk, v, pad in zip(qk_dense, v_dense, pads):
+            mask = ~pad[:, None, None, :]  # [W, 1, 1(q), T(k)], True = attend
+            outs.append(attn(qk, qk, v, mask=mask))
+        return window2flat(outs, f2w)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (sst_basic_block_v2.py:77)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    activation: str = "gelu"
+    post_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, f2w):
+        act = ACTIVATIONS[self.activation]
+        if self.post_norm:
+            src2 = WindowAttention(self.d_model, self.nhead, self.dtype)(src, pos, f2w)
+            src = nn.LayerNorm(dtype=self.dtype)(src + src2)
+            src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
+            src2 = nn.Dense(self.d_model, dtype=self.dtype)(act(src2))
+            src = nn.LayerNorm(dtype=self.dtype)(src + src2)
+        else:
+            src2 = nn.LayerNorm(dtype=self.dtype)(src)
+            src2 = WindowAttention(self.d_model, self.nhead, self.dtype)(src2, pos, f2w)
+            src = src + src2
+            src2 = nn.LayerNorm(dtype=self.dtype)(src)
+            src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src2)
+            src = src + nn.Dense(self.d_model, dtype=self.dtype)(act(src2))
+        return src
+
+
+class BasicShiftBlock(nn.Module):
+    """Two encoder layers: shift0 then shift1 (sst_basic_block_v2.py:129)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, plan: SSTPlan):
+        for i in range(2):
+            src = EncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.activation, dtype=self.dtype, name=f"encoder_{i}",
+            )(src, plan.pos[i], plan.f2w[i])
+        return src
+
+
+def recover_bev(voxel_feat, voxel_coords, voxel_valid, batch_size: int, output_shape):
+    """Scatter sparse voxel features onto a dense [B, ny, nx, C] canvas
+    (sst_v2.py:161-199) — NHWC, single fused scatter instead of a batch loop."""
+    ny, nx = output_shape
+    c = voxel_feat.shape[-1]
+    flat_idx = (voxel_coords[:, 0] * ny + voxel_coords[:, 2]) * nx + voxel_coords[:, 3]
+    flat_idx = jnp.where(voxel_valid, flat_idx, batch_size * ny * nx)
+    canvas = jnp.zeros((batch_size * ny * nx, c), voxel_feat.dtype)
+    canvas = canvas.at[flat_idx].set(
+        jnp.where(voxel_valid[:, None], voxel_feat, 0.0), mode="drop"
+    )
+    return canvas.reshape(batch_size, ny, nx, c)
+
+
+class SSTv2(nn.Module):
+    """Single-stride Sparse Transformer backbone (sst_v2.py:17)."""
+
+    d_model: Sequence[int] = (128,) * 6
+    nhead: Sequence[int] = (8,) * 6
+    num_blocks: int = 6
+    dim_feedforward: Sequence[int] = (256,) * 6
+    activation: str = "gelu"
+    output_shape: tuple = (468, 468)
+    num_attached_conv: int = 3
+    conv_kwargs: tuple = (
+        {"kernel_size": 3, "dilation": 1},
+        {"kernel_size": 3, "dilation": 1},
+        {"kernel_size": 3, "dilation": 2},
+    )
+    conv_out_channel: int = 128
+    in_channel: int | None = None
+    to_bev: bool = True
+    conv_shortcut: bool = False
+    remat_blocks: bool = True  # jax.checkpoint each block (HBM for FLOPs)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxel_feats, voxel_coords, plan: SSTPlan, batch_size: int,
+                 train: bool = False):
+        x = voxel_feats.astype(self.dtype)
+        if self.in_channel is not None:
+            x = nn.Dense(self.d_model[0], dtype=self.dtype, name="linear0")(x)
+        block_cls = nn.remat(BasicShiftBlock) if self.remat_blocks else BasicShiftBlock
+        for i in range(self.num_blocks):
+            x = block_cls(
+                self.d_model[i], self.nhead[i], self.dim_feedforward[i],
+                self.activation, dtype=self.dtype, name=f"block_{i}",
+            )(x, plan)
+
+        valid = plan.valid
+        if not self.to_bev:
+            return x, valid
+
+        bev = recover_bev(x, voxel_coords, valid, batch_size, self.output_shape)
+        from sst_tpu.models.layers import ConvNormAct
+
+        for i in range(self.num_attached_conv):
+            kw = dict(self.conv_kwargs[i]) if isinstance(self.conv_kwargs, (list, tuple)) else dict(self.conv_kwargs)
+            kw.pop("padding", None)
+            kw.pop("stride", None)
+            out = ConvNormAct(
+                self.conv_out_channel, act="relu", dtype=self.dtype,
+                name=f"attached_conv_{i}", **kw,
+            )(bev, train)
+            if self.conv_shortcut and out.shape == bev.shape:
+                bev = out + bev
+            else:
+                bev = out
+        return bev, valid

@@ -1,0 +1,88 @@
+"""Voxel feature encoders (flax), operating on a :class:`VoxelMapping`.
+
+TPU rebuild of /root/reference/mmdet3d/models/voxel_encoders/voxel_encoder.py:
+  - DynamicVFE (:93)        — SST's encoder: cluster/voxel-center decoration,
+    per-layer scatter-max + broadcast concat, final scatter reduce.
+  - DynamicScatterVFE (:503) — FSD's encoder: same shape but uses the shared
+    unique (``unique_once``) and no dense canvas; here both share one
+    VoxelMapping so the distinction disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sst_tpu.models.layers import MLP, MaskedBatchNorm
+from sst_tpu.ops.segment import gather_segments, segment_reduce
+from sst_tpu.ops.voxelize import VoxelMapping
+
+
+def decorate_points(points, vm: VoxelMapping, point_cloud_range, voxel_size,
+                    with_cluster_center=True, with_voxel_center=True,
+                    with_distance=False):
+    """Append cluster-center and voxel-center offsets to raw point features
+    (voxel_encoder.py:255-283)."""
+    feats = [points]
+    xyz = points[:, :3]
+    num_vox = vm.num_voxel_slots
+    if with_cluster_center:
+        vox_mean = segment_reduce(xyz, vm.point_seg_ids, num_vox, "mean")
+        cluster = xyz - gather_segments(vox_mean, vm.point_seg_ids)
+        feats.append(cluster)
+    if with_voxel_center:
+        vs = jnp.asarray(voxel_size, jnp.float32)
+        pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
+        centers = (vm.coords[:, jnp.array([3, 2, 1])].astype(jnp.float32) + 0.5) * vs + pcr
+        feats.append(xyz - centers)
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    out = jnp.concatenate(feats, axis=-1)
+    return jnp.where(vm.valid[:, None], out, 0.0)
+
+
+class DynamicVFELayer(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype)(x)
+        x = MaskedBatchNorm(dtype=self.dtype)(x, mask, train)
+        return nn.relu(x)
+
+
+class DynamicVFE(nn.Module):
+    """Point→voxel encoder. Returns voxel features [V, C_out]."""
+
+    feat_channels: Sequence[int] = (64, 128)
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    with_distance: bool = False
+    voxel_size: tuple = (0.32, 0.32, 6.0)
+    point_cloud_range: tuple = (-74.88, -74.88, -2, 74.88, 74.88, 4)
+    mode: str = "max"
+    return_point_feats: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, vm: VoxelMapping, train: bool = False):
+        x = decorate_points(
+            points, vm, self.point_cloud_range, self.voxel_size,
+            self.with_cluster_center, self.with_voxel_center, self.with_distance,
+        ).astype(self.dtype)
+        num_vox = vm.num_voxel_slots
+        n_layers = len(self.feat_channels)
+        point_feats = x
+        for i, c in enumerate(self.feat_channels):
+            point_feats = DynamicVFELayer(c, dtype=self.dtype)(point_feats, vm.valid, train)
+            voxel_feats = segment_reduce(point_feats, vm.point_seg_ids, num_vox, self.mode)
+            if i != n_layers - 1:
+                back = gather_segments(voxel_feats, vm.point_seg_ids)
+                point_feats = jnp.concatenate([point_feats, back], axis=-1)
+                point_feats = jnp.where(vm.valid[:, None], point_feats, 0.0)
+        if self.return_point_feats:
+            return point_feats
+        return jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)
