@@ -1,0 +1,4 @@
+from sst_tpu.models.fsd.single_stage import FSDCaps, SingleStageFSD
+from sst_tpu.models.fsd.sir import SIR, SIRLayer
+from sst_tpu.models.fsd.sparse_cluster_head import FSDSeparateHead, SparseClusterHeadV2
+from sst_tpu.models.fsd.vote_segmentor import VoteSegHead, VoteSegmentor

@@ -1,0 +1,290 @@
+"""SingleStageFSD — the fully-sparse detector (FSD, NeurIPS 2022).
+
+TPU rebuild of /root/reference/mmdet3d/models/detectors/single_stage_fsd.py:391
+with the ClusterAssigner (:922) recast as device ops:
+
+  VoteSegmentor → per-class fg selection (score threshold + static top-k
+  compaction) → pre-voxelize dedup (0.1 m) → per-class cluster voxelization →
+  device CCL over cluster-voxel centers → SIR backbone over (class, batch,
+  cluster) groups → SparseClusterHeadV2.
+
+Static-shape discipline: per-class fg caps, per-class cluster-voxel caps, and
+per-class cluster caps replace boolean-mask compaction; selection is top-k by
+score among thresholded points (identical to the reference whenever counts
+fit the caps).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import struct
+
+from sst_tpu.models.fsd.sir import SIR
+from sst_tpu.models.fsd.sparse_cluster_head import SparseClusterHeadV2
+from sst_tpu.models.fsd.vote_segmentor import VoteSegmentor, seg_targets
+from sst_tpu.ops.ccl import compact_labels, connected_components, topk_compact
+from sst_tpu.ops.segment import gather_segments, segment_reduce, unique_segments
+from sst_tpu.ops.voxelize import grid_shape_zyx
+
+
+@struct.dataclass
+class FSDCaps:
+    """Static capacities for the FSD pipeline."""
+
+    fg_per_class: tuple = struct.field(pytree_node=False, default=(8192, 4096, 4096))
+    cluster_voxels_per_class: tuple = struct.field(
+        pytree_node=False, default=(4096, 4096, 4096)
+    )
+    clusters_per_class: tuple = struct.field(
+        pytree_node=False, default=(512, 512, 512)
+    )
+    pre_voxels: int = struct.field(pytree_node=False, default=131072)
+
+
+class SingleStageFSD(nn.Module):
+    point_cloud_range: tuple = (-80.0, -80.0, -2.0, 80.0, 80.0, 4.0)
+    num_classes: int = 3
+    class_names: tuple = ("Car", "Pedestrian", "Cyclist")
+    score_thresh: tuple = (0.3, 0.25, 0.25)
+    cluster_voxel_size: tuple = ((0.3, 0.3, 6.0), (0.05, 0.05, 6.0), (0.2, 0.2, 6.0))
+    connected_dist: tuple = (0.6, 0.1, 0.4)
+    min_points: int = 2
+    pre_voxelization_size: tuple | None = (0.1, 0.1, 0.1)
+    caps: FSDCaps = struct.field(default_factory=FSDCaps)
+    segmentor: dict = struct.field(default_factory=dict)
+    backbone: dict = struct.field(default_factory=dict)
+    head: dict = struct.field(default_factory=dict)
+    test_cfg: dict = struct.field(
+        default_factory=lambda: dict(score_thr=0.1, nms_thr=0.25, nms_pre=1024,
+                                     max_num=500, use_rotate_nms=True)
+    )
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.segmentor_mod = VoteSegmentor(
+            point_cloud_range=self.point_cloud_range, dtype=self.dtype,
+            **self.segmentor,
+        )
+        self.backbone_mod = SIR(dtype=self.dtype, **self.backbone)
+        self.head_mod = SparseClusterHeadV2(
+            num_classes=self.num_classes, class_names=self.class_names,
+            dtype=self.dtype, **self.head,
+        )
+
+    # ------------------------------------------------------------- pipeline
+
+    def pre_voxelize(self, data: dict, batch_size: int):
+        """0.1 m dedup: average every float field over tiny voxels
+        (single_stage_fsd.py:595)."""
+        cap = self.caps.pre_voxels
+        pts = data["seg_points"]
+        vs = jnp.asarray(self.pre_voxelization_size, jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        c = jnp.floor((pts[:, :3] - pcr[None]) / vs[None]).astype(jnp.int32)
+        grid = grid_shape_zyx(self.point_cloud_range, self.pre_voxelization_size)
+        nz, ny, nx = grid
+        key = ((data["batch_idx"] * nz + c[:, 2]) * ny + c[:, 1]) * nx + c[:, 0]
+        uniq = unique_segments(key, data["valid"], cap)
+        out = {}
+        for name in ("seg_points", "seg_logits", "seg_vote_preds", "offsets",
+                     "seg_feats"):
+            out[name] = segment_reduce(data[name], uniq.seg_ids, cap, "mean")
+        out["batch_idx"] = segment_reduce(
+            data["batch_idx"].astype(jnp.float32), uniq.seg_ids, cap, "max"
+        ).astype(jnp.int32)
+        out["valid"] = uniq.unique_keys != jnp.iinfo(jnp.int32).max
+        return out
+
+    def sample_class(self, data: dict, cls: int, thr_extra: float = 0.0):
+        """fg selection for one class: threshold + top-k compaction
+        (single_stage_fsd.py:698-775)."""
+        cap = self.caps.fg_per_class[cls]
+        scores = jax.nn.sigmoid(data["seg_logits"][:, cls])
+        fg = data["valid"] & (scores > self.score_thresh[cls] + thr_extra)
+        idx, sel_valid = topk_compact(scores, fg, cap)
+        pts = data["seg_points"][idx]
+        offsets = data["offsets"][idx].reshape(-1, self.num_classes, 3)[:, cls]
+        centers = pts[:, :3] + offsets
+        return {
+            "idx": idx,
+            "valid": sel_valid,
+            "points": pts,
+            "feats": jnp.concatenate(
+                [data["seg_logits"][idx], data["seg_vote_preds"][idx],
+                 data["seg_feats"][idx]], axis=-1,
+            ),
+            "centers": centers,
+            "batch_idx": data["batch_idx"][idx],
+        }
+
+    def cluster_class(self, sample: dict, cls: int, batch_size: int):
+        """Cluster voxelization + CCL for one class (ClusterAssigner
+        single_stage_fsd.py:922-999). Returns per-point cluster slot in
+        [0, clusters_per_class) and validity."""
+        vcap = self.caps.cluster_voxels_per_class[cls]
+        ccap = self.caps.clusters_per_class[cls]
+        vsize = jnp.asarray(self.cluster_voxel_size[cls], jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
+        centers = sample["centers"]
+        c = jnp.floor((centers - pcr[None, :3]) / vsize[None]).astype(jnp.int32)
+        nx = int(round((self.point_cloud_range[3] - self.point_cloud_range[0])
+                       / self.cluster_voxel_size[cls][0])) + 2
+        ny = int(round((self.point_cloud_range[4] - self.point_cloud_range[1])
+                       / self.cluster_voxel_size[cls][1])) + 2
+        # clusters use xy mostly (z voxel is full height); clip for safety
+        cx = jnp.clip(c[:, 0], 0, nx - 1)
+        cy = jnp.clip(c[:, 1], 0, ny - 1)
+        key = (sample["batch_idx"] * ny + cy) * nx + cx
+        uniq = unique_segments(key, sample["valid"], vcap)
+        counts_pp = uniq.counts[jnp.minimum(uniq.seg_ids, vcap - 1)]
+        pt_valid = sample["valid"] & (counts_pp >= self.min_points) & (uniq.seg_ids < vcap)
+        vox_valid = (uniq.unique_keys != jnp.iinfo(jnp.int32).max) & (
+            uniq.counts >= self.min_points
+        )
+        vox_centers = segment_reduce(centers, uniq.seg_ids, vcap, "mean")
+        vox_batch = segment_reduce(
+            sample["batch_idx"].astype(jnp.float32), uniq.seg_ids, vcap, "max"
+        ).astype(jnp.int32)
+        labels = connected_components(
+            vox_centers[:, :2], vox_batch, vox_valid, self.connected_dist[cls]
+        )
+        comp_ids, _ = compact_labels(labels, vox_valid, ccap)
+        # per-point cluster slot
+        pt_cluster = jnp.where(
+            pt_valid,
+            comp_ids[jnp.minimum(uniq.seg_ids, vcap - 1)],
+            ccap,
+        )
+        pt_valid = pt_valid & (pt_cluster < ccap)
+        return pt_cluster, pt_valid
+
+    def extract(self, data: dict, batch_size: int, train: bool,
+                thr_extra: float = 0.0):
+        """sample → cluster → SIR for all classes. Returns cluster-level and
+        point-level tensors."""
+        streams = []
+        total_clusters = sum(self.caps.clusters_per_class)
+        offset = 0
+        for cls in range(self.num_classes):
+            s = self.sample_class(data, cls, thr_extra)
+            pc, pv = self.cluster_class(s, cls, batch_size)
+            ccap = self.caps.clusters_per_class[cls]
+            seg = jnp.where(pv, pc + offset, total_clusters)
+            streams.append((s, seg, pv))
+            offset += ccap
+
+        points = jnp.concatenate([s["points"] for s, _, _ in streams])
+        feats = jnp.concatenate([s["feats"] for s, _, _ in streams])
+        centers = jnp.concatenate([s["centers"] for s, _, _ in streams])
+        batch_idx = jnp.concatenate([s["batch_idx"] for s, _, _ in streams])
+        seg_ids = jnp.concatenate([sg for _, sg, _ in streams])
+        pt_valid = jnp.concatenate([pv for _, _, pv in streams])
+
+        cluster_xyz = segment_reduce(centers, seg_ids, total_clusters, "mean")
+        cluster_batch = segment_reduce(
+            batch_idx.astype(jnp.float32), seg_ids, total_clusters, "max"
+        ).astype(jnp.int32)
+        cluster_cls = jnp.concatenate([
+            jnp.full((self.caps.clusters_per_class[c],), c, jnp.int32)
+            for c in range(self.num_classes)
+        ])
+        cluster_valid = segment_reduce(
+            pt_valid.astype(jnp.float32), seg_ids, total_clusters, "sum"
+        ) > 0
+
+        f_cluster = points[:, :3] - gather_segments(cluster_xyz, seg_ids)
+        pt_feats, cluster_feats = self.backbone_mod(
+            points, feats, f_cluster, seg_ids, total_clusters, pt_valid, train
+        )
+        return {
+            "cluster_feats": cluster_feats,
+            "cluster_xyz": cluster_xyz,
+            "cluster_batch": cluster_batch,
+            "cluster_cls": cluster_cls,
+            "cluster_valid": cluster_valid,
+            "pt_feats": pt_feats,
+            "points": points,
+            "pt_seg_ids": seg_ids,
+            "pt_valid": pt_valid,
+            "pt_batch_idx": batch_idx,
+        }
+
+    # ------------------------------------------------------------- training
+
+    def loss(self, batch, train: bool = True, thr_extra: float = 0.0):
+        b, p, _ = batch.points.shape
+        pts = batch.points.reshape(b * p, -1)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
+                                     b, train)
+
+        # segmentation losses (targets per sample via the [B, P] layout)
+        def tgt_single(points_s, valid_s, boxes_s, labels_s, gv_s):
+            return seg_targets(points_s[:, :3], valid_s, boxes_s, labels_s,
+                               gv_s, self.num_classes)
+
+        lbl, vt, vm = jax.vmap(tgt_single)(
+            batch.points, batch.valid, batch.gt_boxes, batch.gt_labels,
+            batch.gt_valid,
+        )
+        losses = self.segmentor_mod.head_mod.losses(
+            seg_out["seg_logits"], seg_out["seg_vote_preds"],
+            lbl.reshape(-1), vt.reshape(-1, 3), vm.reshape(-1), seg_out["valid"],
+        )
+
+        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
+                                        "seg_vote_preds", "offsets",
+                                        "seg_feats", "batch_idx", "valid")}
+        data["seg_logits"] = jax.lax.stop_gradient(data["seg_logits"])
+        data["seg_vote_preds"] = jax.lax.stop_gradient(data["seg_vote_preds"])
+        data["offsets"] = jax.lax.stop_gradient(data["offsets"])
+        if self.pre_voxelization_size is not None:
+            data = self.pre_voxelize(data, b)
+        ex = self.extract(data, b, train, thr_extra)
+        outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)
+        det_losses = self.head_mod.loss(
+            outs, ex["cluster_xyz"], ex["cluster_batch"], ex["cluster_valid"],
+            batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+        )
+        losses.update(det_losses)
+        losses["num_clusters"] = ex["cluster_valid"].sum().astype(jnp.float32)
+        losses["num_fg_points"] = ex["pt_valid"].sum().astype(jnp.float32)
+        return losses
+
+    def predict(self, batch):
+        b, p, _ = batch.points.shape
+        pts = batch.points.reshape(b * p, -1)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
+                                     b, train=False)
+        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
+                                        "seg_vote_preds", "offsets",
+                                        "seg_feats", "batch_idx", "valid")}
+        if self.pre_voxelization_size is not None:
+            data = self.pre_voxelize(data, b)
+        ex = self.extract(data, b, train=False)
+        outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], False)
+        return self.head_mod.get_bboxes(
+            outs, ex["cluster_xyz"], ex["cluster_batch"], ex["cluster_valid"],
+            b, **self.test_cfg,
+        )
+
+    def __call__(self, batch, train: bool = False):
+        """Init-friendly entry: runs the full pipeline to head outputs."""
+        b, p, _ = batch.points.shape
+        pts = batch.points.reshape(b * p, -1)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
+                                     b, train)
+        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
+                                        "seg_vote_preds", "offsets",
+                                        "seg_feats", "batch_idx", "valid")}
+        if self.pre_voxelization_size is not None:
+            data = self.pre_voxelize(data, b)
+        ex = self.extract(data, b, train)
+        return self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)

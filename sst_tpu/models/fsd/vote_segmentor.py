@@ -1,0 +1,195 @@
+"""VoteSegmentor — FSD stage-0 point segmentation + center voting.
+
+TPU rebuild of /root/reference/mmdet3d/models/detectors/single_stage_fsd.py:156
+(VoteSegmentor) + decode_heads/segmentation_head.py:16 (VoteSegHead) +
+necks/voxel2point_neck.py:10 (Voxel2PointScatterNeck).
+
+Flow: tanh intensity hack → dynamic voxelize (0.25m) → DynamicVFE →
+SimpleSparseUNet over a precomputed UNetPlan → per-point gather + local-xyz
+decoration → MLP → (seg logits [P, C], vote preds [P, C*3]).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sst_tpu.core.boxes import gravity_center, points_in_boxes
+from sst_tpu.core import losses as L
+from sst_tpu.models.layers import MLP
+from sst_tpu.models.sparse_unet import SimpleSparseUNet, build_unet_plan
+from sst_tpu.models.vfe import DynamicVFE
+from sst_tpu.ops.segment import gather_segments
+from sst_tpu.ops.sparse_conv import SparseGrid, make_sparse_grid
+from sst_tpu.ops.voxelize import VoxelMapping, dynamic_voxelize, grid_shape_zyx
+
+
+def encode_vote(delta):
+    """sign(d) * sqrt(|d|) (segmentation_head.py:277)."""
+    return jnp.sign(delta) * jnp.sqrt(jnp.abs(delta))
+
+
+def decode_vote(pred):
+    return pred * jnp.abs(pred)
+
+
+def seg_targets(points_xyz, points_valid, gt_boxes, gt_labels, gt_valid,
+                num_classes: int, chunk: int = 16384):
+    """Per-point class label (bg = num_classes) + vote target + vote mask
+    (segmentation_head.py:212-276). Chunked points-in-boxes to bound memory."""
+    p = points_xyz.shape[0]
+    pad = (-p) % chunk
+    pts = jnp.concatenate([points_xyz, jnp.zeros((pad, 3), points_xyz.dtype)])
+    centers = gravity_center(gt_boxes)
+
+    def per_chunk(xyz):
+        inb = points_in_boxes(xyz, gt_boxes)  # [chunk, G]
+        inb = inb & gt_valid[None, :]
+        any_in = inb.any(axis=1)
+        first = jnp.argmax(inb, axis=1)
+        lbl = jnp.where(any_in, gt_labels[first], num_classes)
+        ctr = centers[first]
+        delta = jnp.where(any_in[:, None], ctr - xyz, 0.0)
+        return lbl.astype(jnp.int32), delta, any_in
+
+    lbl, delta, vm = jax.lax.map(
+        per_chunk, pts.reshape(-1, chunk, 3)
+    )
+    lbl = lbl.reshape(-1)[:p]
+    delta = delta.reshape(-1, 3)[:p]
+    vm = vm.reshape(-1)[:p] & points_valid
+    lbl = jnp.where(points_valid, lbl, num_classes)
+    return lbl, encode_vote(delta), vm
+
+
+class VoteSegHead(nn.Module):
+    num_classes: int = 3
+    hidden_dims: Sequence[int] = (128, 128)
+    init_bias: float = -2.0
+    gamma: float = 3.0
+    alpha: float = 0.8
+    loss_seg_weight: float = 1.0
+    loss_vote_weight: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, valid, train: bool = False):
+        x = MLP(self.hidden_dims, norm="bn", dtype=self.dtype, name="pre_seg")(
+            feats, valid, train
+        )
+        logits = nn.Dense(
+            self.num_classes,
+            bias_init=nn.initializers.constant(self.init_bias),
+            dtype=self.dtype, name="conv_seg",
+        )(x)
+        votes = nn.Dense(self.num_classes * 3, dtype=self.dtype, name="voting")(x)
+        return logits, votes
+
+    def losses(self, logits, votes, labels, vote_targets, vote_mask, valid):
+        num_valid = jnp.maximum(valid.sum(), 1.0)
+        w = valid.astype(jnp.float32)
+        loss_seg = L.sigmoid_focal_loss(
+            logits, jnp.where(valid, labels, self.num_classes),
+            weight=w, gamma=self.gamma, alpha=self.alpha, avg_factor=num_valid,
+        ) * self.loss_seg_weight
+        # vote loss: only the target class's 3 offsets, fg points only
+        v = votes.reshape(-1, self.num_classes, 3)
+        safe_lbl = jnp.minimum(labels, self.num_classes - 1)
+        picked = jnp.take_along_axis(v, safe_lbl[:, None, None].repeat(3, -1), 1)[:, 0]
+        vm = vote_mask & valid
+        num_vote = jnp.maximum(vm.sum(), 1.0)
+        loss_vote = L.l1_loss(
+            picked, vote_targets, weight=vm.astype(jnp.float32), avg_factor=num_vote
+        ) * self.loss_vote_weight
+        return {"loss_sem_seg": loss_seg, "loss_vote": loss_vote}
+
+
+class VoteSegmentor(nn.Module):
+    voxel_size: tuple = (0.25, 0.25, 0.2)
+    point_cloud_range: tuple = (-80.0, -80.0, -2.0, 80.0, 80.0, 4.0)
+    max_voxels: int = 65536
+    unet_level_caps: tuple = (65536, 32768, 16384, 8192, 4096)
+    unet_strides: tuple = ((2, 2, 2),) * 4
+    unet_paddings: tuple = ((1, 1, 1), (1, 1, 1), (0, 1, 1), (1, 1, 1))
+    vfe: dict = None
+    unet: dict = None
+    head: dict = None
+    tanh_dims: tuple | None = None  # None → tanh all channels past xyz (WOD hack)
+    return_multiscale: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.vfe_mod = DynamicVFE(
+            voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+            dtype=self.dtype, **(self.vfe or dict(feat_channels=(64, 64), mode="max")),
+        )
+        self.unet_mod = SimpleSparseUNet(
+            dtype=self.dtype, return_multiscale=self.return_multiscale,
+            **(self.unet or {}),
+        )
+        self.head_mod = VoteSegHead(dtype=self.dtype, **(self.head or {}))
+
+    def preprocess(self, points):
+        if self.tanh_dims is None:
+            return jnp.concatenate(
+                [points[:, :3], jnp.tanh(points[:, 3:])], axis=-1
+            )
+        if len(self.tanh_dims) == 0:
+            return points
+        out = points
+        for d in self.tanh_dims:
+            out = out.at[:, d].set(jnp.tanh(out[:, d]))
+        return out
+
+    def __call__(self, points, batch_idx, points_valid, batch_size: int,
+                 train: bool = False):
+        """points: [P, C] flat batch. Returns per-point seg dict."""
+        pts = self.preprocess(points)
+        vm = dynamic_voxelize(
+            pts, batch_idx, points_valid,
+            self.point_cloud_range, self.voxel_size, self.max_voxels, batch_size,
+        )
+        voxel_feats = self.vfe_mod(pts, vm, train)
+
+        # voxel order from unique_segments is already sorted by key, so the
+        # SparseGrid can be built without re-sorting; order is identity.
+        grid = grid_shape_zyx(self.point_cloud_range, self.voxel_size)
+        sg = SparseGrid(
+            keys=jnp.where(vm.voxel_valid, vm.unique.unique_keys,
+                           jnp.iinfo(jnp.int32).max),
+            coords=vm.voxel_coords, valid=vm.voxel_valid, grid=grid,
+            batch_size=batch_size,
+        )
+        plan = build_unet_plan(
+            sg, (self.max_voxels,) + tuple(self.unet_level_caps[1:]),
+            self.unet_strides, self.unet_paddings,
+        )
+        unet_out = self.unet_mod(voxel_feats, plan, train)
+
+        # voxel2point: gather voxel feats back to points + local xyz
+        pt_vox_feats = gather_segments(unet_out["voxel_feats"], vm.point_seg_ids)
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        centers = (vm.coords[:, jnp.array([3, 2, 1])].astype(jnp.float32) + 0.5) * vs + pcr
+        local_xyz = jnp.where(vm.valid[:, None], pts[:, :3] - centers, 0.0)
+        feats = jnp.concatenate([pt_vox_feats, local_xyz], axis=-1)
+
+        logits, votes = self.head_mod(feats, vm.valid, train)
+        out = {
+            "seg_points": pts,
+            "seg_logits": logits,
+            "seg_vote_preds": votes,
+            "offsets": decode_vote(votes),
+            "seg_feats": feats,
+            "batch_idx": batch_idx,
+            "valid": vm.valid,
+        }
+        if self.return_multiscale:
+            out["decoder_features"] = unet_out["decoder_features"]
+            out["unet_plan"] = plan
+        return out
+

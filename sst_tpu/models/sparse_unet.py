@@ -1,0 +1,192 @@
+"""SimpleSparseUNet — FSD's fully-sparse segmentation backbone.
+
+TPU rebuild of /root/reference/mmdet3d/models/middle_encoders/sparse_unet.py
+(:16 SparseUNet topology, :324 SimpleSparseUNet which skips the densify):
+submanifold conv_input → 5 encoder stages (stride-2 sparse conv + subm
+blocks) → symmetric decoder (lateral SparseBasicBlock + merge + channel-
+reduce residual + SparseInverseConv upsample).
+
+Index plans (neighbor tables per level) are precomputed once per forward in
+:func:`build_unet_plan` and shared by every conv at that level — the analog
+of spconv's ``indice_key`` caching.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from sst_tpu.models.layers import ACTIVATIONS, MaskedBatchNorm
+from sst_tpu.ops.sparse_conv import (
+    SparseGrid,
+    build_canvas,
+    downsample_grid,
+    gather_gemm,
+    inverse_neighbor_table,
+    strided_neighbor_table,
+    subm_neighbor_table,
+)
+
+
+@struct.dataclass
+class UNetPlan:
+    levels: tuple  # tuple[SparseGrid], level 0 = input resolution
+    subm_nbr: tuple  # [27, V_l] per level
+    down_nbr: tuple  # [27, V_l] (inputs indices at level l-1), for l >= 1
+    inv_nbr: tuple  # [27, V_{l-1}] (indices into level l), for l >= 1
+
+
+def build_unet_plan(
+    sg0: SparseGrid,
+    level_caps: Sequence[int],
+    strides: Sequence[tuple],
+    paddings: Sequence[tuple],
+) -> UNetPlan:
+    """Args: level_caps[0] must equal sg0.cap; strides/paddings for each
+    downsample (len == num_levels - 1)."""
+    assert level_caps[0] == sg0.cap
+    levels = [sg0]
+    canvases = [build_canvas(sg0)]
+    subm = [subm_neighbor_table(sg0, canvases[0])]
+    down, inv = [], []
+    for i, (s, p) in enumerate(zip(strides, paddings)):
+        prev = levels[-1]
+        nxt = downsample_grid(prev, level_caps[i + 1], s, p)
+        cv = build_canvas(nxt)
+        levels.append(nxt)
+        canvases.append(cv)
+        subm.append(subm_neighbor_table(nxt, cv))
+        down.append(strided_neighbor_table(nxt, prev, canvases[-2], s, p))
+        inv.append(inverse_neighbor_table(prev, nxt, cv, s, p))
+    return UNetPlan(
+        levels=tuple(levels), subm_nbr=tuple(subm),
+        down_nbr=tuple(down), inv_nbr=tuple(inv),
+    )
+
+
+class SparseConvLayer(nn.Module):
+    """conv(+norm+act) over a precomputed neighbor table."""
+
+    out_channels: int
+    order: tuple = ("conv", "norm", "act")
+    act: str = "relu"
+    use_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, out_valid, train: bool):
+        k = nbr.shape[0]
+        cin = feats.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k, cin, self.out_channels), jnp.float32,
+        )
+        x = gather_gemm(feats, nbr, w)
+        x = jnp.where(out_valid[:, None], x, 0.0)
+        if self.use_norm:
+            x = MaskedBatchNorm(dtype=self.dtype)(x, out_valid, train)
+        x = ACTIVATIONS[self.act](x)
+        return jnp.where(out_valid[:, None], x, 0.0)
+
+
+class SparseBasicBlock(nn.Module):
+    """ResNet basic block with submanifold convs (ops/sparse_block.py)."""
+
+    channels: int
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, nbr, valid, train: bool):
+        identity = feats
+        x = SparseConvLayer(self.channels, act=self.act, dtype=self.dtype,
+                            name="conv1")(feats, nbr, valid, train)
+        x = SparseConvLayer(self.channels, act="none", dtype=self.dtype,
+                            name="conv2")(x, nbr, valid, train)
+        if identity.shape[-1] != self.channels:
+            identity = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                                name="downsample")(identity)
+        x = ACTIVATIONS[self.act](x + identity)
+        return jnp.where(valid[:, None], x, 0.0)
+
+
+class SimpleSparseUNet(nn.Module):
+    in_channels: int = 64
+    base_channels: int = 64
+    output_channels: int = 128  # unused in Simple variant (no densify)
+    encoder_channels: tuple = (
+        (64,), (64, 64, 64), (64, 64, 64), (128, 128, 128), (256, 256, 256)
+    )
+    decoder_channels: tuple = (
+        (256, 256, 128), (128, 128, 64), (64, 64, 64), (64, 64, 64), (64, 64, 64)
+    )
+    act: str = "relu"
+    return_multiscale: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, plan: UNetPlan, train: bool = False):
+        num_stages = len(self.encoder_channels)
+        x = SparseConvLayer(self.base_channels, act=self.act, dtype=self.dtype,
+                            name="conv_input")(
+            feats, plan.subm_nbr[0], plan.levels[0].valid, train)
+
+        encode = []
+        for i, blocks in enumerate(self.encoder_channels):
+            lvl = i  # stage i lives at level i (stage 0 at input res)
+            for j, c in enumerate(blocks):
+                if i != 0 and j == 0:
+                    # strided conv: level i-1 → i
+                    x = SparseConvLayer(
+                        c, act=self.act, dtype=self.dtype,
+                        name=f"encoder_{i}_{j}_down",
+                    )(x, plan.down_nbr[i - 1], plan.levels[i].valid, train)
+                else:
+                    x = SparseConvLayer(
+                        c, act=self.act, dtype=self.dtype,
+                        name=f"encoder_{i}_{j}",
+                    )(x, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+            encode.append(x)
+
+        # decoder: stage s from num_stages down to 1
+        decode = []
+        x = encode[-1]
+        for d, chans in enumerate(self.decoder_channels):
+            s = num_stages - d  # 5..1
+            lvl = s - 1
+            lateral = SparseBasicBlock(
+                chans[0], act=self.act, dtype=self.dtype, name=f"lateral_{s}"
+            )(encode[lvl], plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+            cat = jnp.concatenate([x, lateral], axis=-1)
+            merge = SparseConvLayer(
+                chans[1], act=self.act, dtype=self.dtype, name=f"merge_{s}"
+            )(cat, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+            # channel-reduce residual (sparse_unet.py:189-206)
+            n, cin = cat.shape
+            red = cat.reshape(n, chans[1], cin // chans[1]).sum(-1)
+            x = merge + red
+            if s != 1:
+                x = SparseConvLayer(
+                    chans[2], act=self.act, dtype=self.dtype,
+                    name=f"upsample_{s}",
+                )(x, plan.inv_nbr[lvl - 1], plan.levels[lvl - 1].valid, train)
+            else:
+                x = SparseConvLayer(
+                    chans[2], act=self.act, dtype=self.dtype,
+                    name=f"upsample_{s}",
+                )(x, plan.subm_nbr[0], plan.levels[0].valid, train)
+            decode.append(x)
+
+        out = {
+            "voxel_feats": decode[-1],
+            "voxel_coords": plan.levels[0].coords,
+            "voxel_valid": plan.levels[0].valid,
+        }
+        if self.return_multiscale:
+            out["decoder_features"] = decode
+        return out
