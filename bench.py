@@ -8,6 +8,12 @@ tools/analysis_tools/benchmark.py (single GPU, batch 1, warmup+loop) and
 community-reported SST-Waymo inference on high-end GPUs is ~10 FPS. We use
 ASSUMED_REF_FPS = 10.0 as the vs_baseline denominator until a measured
 reference number replaces it.
+
+Backend notes (axon remote TPU): block_until_ready does not synchronize and
+eager op dispatch round-trips the remote compiler per op, so (a) everything —
+including flax init — runs under one jit, and (b) timing uses the slope
+method: wall time of N2 vs N1 enqueued iterations, each batch drained by a
+host fetch of a scalar.
 """
 
 from __future__ import annotations
@@ -18,37 +24,58 @@ import time
 ASSUMED_REF_FPS = 10.0
 
 
+def _drain(out):
+    import jax
+
+    return float(jax.tree_util.tree_leaves(out)[0].sum())
+
+
+def slope_time(f, n1: int = 3, n2: int = 13):
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(n1):
+        o = f()
+    _drain(o)
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n2):
+        o = f()
+    _drain(o)
+    tb = time.perf_counter() - t0
+    return (tb - ta) / (n2 - n1)
+
+
 def main():
     import jax
 
     from sst_tpu.flagship import sst_waymo, synthetic_waymo_batch
 
     num_points = 196608
+    # init params on a tiny-caps clone (params are capacity-independent)
+    tmp = sst_waymo(max_points=2048, max_voxels=1024, train_buckets=False)
+    small = tmp.clone(
+        max_total_windows=256,
+        buckets=tuple(b.replace(max_windows=32) for b in tmp.buckets),
+    )
+    sb = synthetic_waymo_batch(batch_size=1, num_points=2048)
+    init_fn = jax.jit(
+        lambda b: small.init(
+            {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+            b, train=False,
+        )
+    )
+    variables = init_fn(sb)
+    _drain(variables)
+
     model = sst_waymo(max_points=num_points, max_voxels=65536, train_buckets=False)
     batch = synthetic_waymo_batch(batch_size=1, num_points=num_points)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
-        batch, train=False,
-    )
 
-    @jax.jit
-    def predict(variables, batch):
-        return model.apply(variables, batch, method=model.predict)
-
-    # warmup + compile
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
     out = predict(variables, batch)
-    jax.block_until_ready(out)
+    _drain(out)  # compile + first exec
 
-    iters = 20
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = predict(variables, batch)
-        jax.block_until_ready(out)
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    fps = 1.0 / p50
+    per_frame = slope_time(lambda: predict(variables, batch))
+    fps = 1.0 / per_frame
     print(
         json.dumps(
             {
@@ -56,7 +83,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / ASSUMED_REF_FPS, 3),
-                "p50_latency_ms": round(p50 * 1e3, 2),
+                "p50_latency_ms": round(per_frame * 1e3, 2),
                 "num_points": num_points,
                 "note": "synthetic Waymo-density frame; vs_baseline uses assumed 10 FPS A100 reference",
             }

@@ -212,18 +212,37 @@ class SingleStageFSD(nn.Module):
             "pt_seg_ids": seg_ids,
             "pt_valid": pt_valid,
             "pt_batch_idx": batch_idx,
+            "pt_idx": jnp.concatenate([s["idx"] for s, _, _ in streams]),
         }
 
-    # ------------------------------------------------------------- training
+    # ------------------------------------------------------------- pipeline
 
-    def loss(self, batch, train: bool = True, thr_extra: float = 0.0):
+    def run_pipeline(self, batch, train: bool, thr_extra: float = 0.0,
+                     detach_seg: bool = True):
+        """Segmentor → sample/cluster → SIR → head outputs. Returns every
+        intermediate needed by losses, prediction and the RoI stage."""
         b, p, _ = batch.points.shape
         pts = batch.points.reshape(b * p, -1)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
         seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
                                      b, train)
+        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
+                                        "seg_vote_preds", "offsets",
+                                        "seg_feats", "batch_idx", "valid")}
+        if detach_seg:
+            data["seg_logits"] = jax.lax.stop_gradient(data["seg_logits"])
+            data["seg_vote_preds"] = jax.lax.stop_gradient(data["seg_vote_preds"])
+            data["offsets"] = jax.lax.stop_gradient(data["offsets"])
+        if self.pre_voxelization_size is not None:
+            data = self.pre_voxelize(data, b)
+        ex = self.extract(data, b, train, thr_extra)
+        outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)
+        return {"seg_out": seg_out, "data": data, "ex": ex, "outs": outs,
+                "batch_size": b}
 
-        # segmentation losses (targets per sample via the [B, P] layout)
+    # ------------------------------------------------------------- training
+
+    def seg_losses(self, batch, seg_out):
         def tgt_single(points_s, valid_s, boxes_s, labels_s, gv_s):
             return seg_targets(points_s[:, :3], valid_s, boxes_s, labels_s,
                                gv_s, self.num_classes)
@@ -232,59 +251,35 @@ class SingleStageFSD(nn.Module):
             batch.points, batch.valid, batch.gt_boxes, batch.gt_labels,
             batch.gt_valid,
         )
-        losses = self.segmentor_mod.head_mod.losses(
+        return self.segmentor_mod.head_mod.losses(
             seg_out["seg_logits"], seg_out["seg_vote_preds"],
             lbl.reshape(-1), vt.reshape(-1, 3), vm.reshape(-1), seg_out["valid"],
         )
 
-        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
-                                        "seg_vote_preds", "offsets",
-                                        "seg_feats", "batch_idx", "valid")}
-        data["seg_logits"] = jax.lax.stop_gradient(data["seg_logits"])
-        data["seg_vote_preds"] = jax.lax.stop_gradient(data["seg_vote_preds"])
-        data["offsets"] = jax.lax.stop_gradient(data["offsets"])
-        if self.pre_voxelization_size is not None:
-            data = self.pre_voxelize(data, b)
-        ex = self.extract(data, b, train, thr_extra)
-        outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)
+    def losses_from_pipeline(self, batch, pipe):
+        losses = self.seg_losses(batch, pipe["seg_out"])
+        ex = pipe["ex"]
         det_losses = self.head_mod.loss(
-            outs, ex["cluster_xyz"], ex["cluster_batch"], ex["cluster_valid"],
-            batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+            pipe["outs"], ex["cluster_xyz"], ex["cluster_batch"],
+            ex["cluster_valid"], batch.gt_boxes, batch.gt_labels, batch.gt_valid,
         )
         losses.update(det_losses)
         losses["num_clusters"] = ex["cluster_valid"].sum().astype(jnp.float32)
         losses["num_fg_points"] = ex["pt_valid"].sum().astype(jnp.float32)
         return losses
 
+    def loss(self, batch, train: bool = True, thr_extra: float = 0.0):
+        pipe = self.run_pipeline(batch, train, thr_extra)
+        return self.losses_from_pipeline(batch, pipe)
+
     def predict(self, batch):
-        b, p, _ = batch.points.shape
-        pts = batch.points.reshape(b * p, -1)
-        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-        seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
-                                     b, train=False)
-        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
-                                        "seg_vote_preds", "offsets",
-                                        "seg_feats", "batch_idx", "valid")}
-        if self.pre_voxelization_size is not None:
-            data = self.pre_voxelize(data, b)
-        ex = self.extract(data, b, train=False)
-        outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], False)
+        pipe = self.run_pipeline(batch, train=False, detach_seg=False)
+        ex = pipe["ex"]
         return self.head_mod.get_bboxes(
-            outs, ex["cluster_xyz"], ex["cluster_batch"], ex["cluster_valid"],
-            b, **self.test_cfg,
+            pipe["outs"], ex["cluster_xyz"], ex["cluster_batch"],
+            ex["cluster_valid"], pipe["batch_size"], **self.test_cfg,
         )
 
     def __call__(self, batch, train: bool = False):
         """Init-friendly entry: runs the full pipeline to head outputs."""
-        b, p, _ = batch.points.shape
-        pts = batch.points.reshape(b * p, -1)
-        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-        seg_out = self.segmentor_mod(pts, batch_idx, batch.valid.reshape(-1),
-                                     b, train)
-        data = {k: seg_out[k] for k in ("seg_points", "seg_logits",
-                                        "seg_vote_preds", "offsets",
-                                        "seg_feats", "batch_idx", "valid")}
-        if self.pre_voxelization_size is not None:
-            data = self.pre_voxelize(data, b)
-        ex = self.extract(data, b, train)
-        return self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)
+        return self.run_pipeline(batch, train)["outs"]

@@ -146,3 +146,63 @@ def test_fsd_predict(fsd_setup):
     out = model.apply(variables, batch, method=model.predict)
     assert out["boxes"].shape == (2, 32, 7)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def tiny_fsd_two_stage():
+    from sst_tpu.models.fsd import FSD
+
+    ss = tiny_fsd()
+    cfg = {f.name: getattr(ss, f.name) for f in ss.__dataclass_fields__.values()
+           if f.name not in ("parent", "name", "dtype")}
+    return FSD(
+        single_stage=cfg,
+        roi_head=dict(
+            max_inbox_point=32,
+            bbox_head=dict(
+                num_blocks=2,
+                feat_channels=((32, 32),) * 2,
+                rel_mlp_hidden=((8, 8),) * 2,
+                reg_mlp=(64, 64),
+                cls_mlp=(64, 64),
+            ),
+        ),
+        rois_per_sample=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def fsd2_setup():
+    model = tiny_fsd_two_stage()
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return model, variables, batch
+
+
+def test_fsd_two_stage_loss(fsd2_setup):
+    model, variables, batch = fsd2_setup
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, method=model.loss, mutable=["batch_stats"],
+        )
+        total = sum(v for k, v in out.items() if k.startswith("loss"))
+        return total, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in out.items()}
+    assert "loss_rcnn_cls" in out and "loss_rcnn_bbox" in out
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_fsd_two_stage_predict(fsd2_setup):
+    model, variables, batch = fsd2_setup
+    out = model.apply(variables, batch, method=model.predict)
+    assert out["boxes"].shape[0] == 2
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+    out_rpn = model.apply(variables, batch, method=model.predict, skip_rcnn=True)
+    assert out_rpn["boxes"].shape[0] == 2

@@ -1,0 +1,128 @@
+"""Evaluation CLI — counterpart of the reference's tools/test.py.
+
+Usage:
+  python tools/test.py configs/sst/sst_waymoD5_3class.py <ckpt-dir> \
+      [--synthetic] [--eval ap3d]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num-samples", type=int, default=16)
+    p.add_argument("--eval", default="ap3d", choices=["ap3d", "apbev", "none"])
+    p.add_argument("--out", default=None, help="write predictions (pkl)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if os.environ.get("SST_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+    import numpy as np
+
+    import sst_tpu.models  # noqa: F401
+    from sst_tpu.core.evaluation import eval_ap
+    from sst_tpu.data.datasets import SyntheticDataset, WaymoDataset
+    from sst_tpu.data.loader import DataLoader
+    from sst_tpu.data.pipelines import build_pipeline
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    model = build_model_from_cfg(cfg, train=False)
+    cap = cfg.get("capacity", {})
+    max_points = cap.get("max_points", 65536)
+    data_cfg = cfg.get("data", {})
+
+    if args.synthetic or data_cfg.get("dataset") == "synthetic":
+        dataset = SyntheticDataset(
+            num_samples=args.num_samples, num_points=min(max_points, 32768),
+            pc_range=model.point_cloud_range,
+            pipeline=build_pipeline([
+                dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
+                dict(type="PadToCap", max_points=max_points),
+            ]),
+            seed=999,
+        )
+        classes = list(dataset.CLASSES)
+    else:
+        dataset = WaymoDataset(
+            data_root=data_cfg["data_root"],
+            info_path=data_cfg["val_info_path"],
+            pipeline=build_pipeline([
+                dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
+                dict(type="PadToCap", max_points=max_points),
+            ]),
+            test_mode=True,
+        )
+        classes = list(dataset.classes)
+
+    loader = DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False)
+
+    sample = next(iter(loader))
+    init_fn = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+            b, train=False,
+        )
+    )
+    variables = init_fn(sample)
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+        from sst_tpu.train import create_train_state, make_optimizer
+
+        tx = make_optimizer()
+        from sst_tpu.train.state import TrainState
+        state = create_train_state(model, variables, tx)
+        state = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.checkpoint), state
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
+
+    preds, gts = [], []
+    for batch in loader:
+        out = predict(variables, batch)
+        for i in range(batch.points.shape[0]):
+            valid = np.asarray(out["valid"][i])
+            preds.append({
+                "boxes": np.asarray(out["boxes"][i])[valid][:, :7],
+                "scores": np.asarray(out["scores"][i])[valid],
+                "labels": np.asarray(out["labels"][i])[valid],
+            })
+            gv = np.asarray(batch.gt_valid[i])
+            gts.append({
+                "boxes": np.asarray(batch.gt_boxes[i])[gv][:, :7],
+                "labels": np.asarray(batch.gt_labels[i])[gv],
+            })
+    print(f"ran inference on {len(preds)} samples", flush=True)
+
+    if args.out:
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(preds, f)
+
+    if args.eval != "none":
+        mode = "3d" if args.eval == "ap3d" else "bev"
+        res = eval_ap(preds, gts, classes, mode=mode)
+        print(json.dumps({f"AP_{mode}": res}))
+
+
+if __name__ == "__main__":
+    main()

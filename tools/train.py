@@ -1,0 +1,173 @@
+"""Training CLI — the counterpart of the reference's tools/train.py.
+
+Usage:
+  python tools/train.py configs/sst/sst_waymoD5_3class.py \
+      --work-dir work_dirs/sst --max-steps 1000 [--cfg-options k.a=v]
+
+Single-process, multi-device via pjit DP over all local devices (replacing
+torch.distributed.launch + DDP). Checkpointing via orbax.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work-dir", default="work_dirs/default")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (no real data needed)")
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    # The axon sitecustomize pins JAX_PLATFORMS=axon; honor an explicit
+    # override (e.g. SST_TPU_PLATFORM=cpu for the virtual 8-device mesh).
+    if os.environ.get("SST_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+    import numpy as np
+
+    import sst_tpu.models  # noqa: F401 (register)
+    from sst_tpu.data.datasets import SyntheticDataset, WaymoDataset
+    from sst_tpu.data.loader import DataLoader
+    from sst_tpu.data.pipelines import PadToCap, build_pipeline
+    from sst_tpu.train import (
+        create_train_state,
+        make_data_mesh,
+        make_jitted_train_step,
+        make_optimizer,
+        shard_batch,
+    )
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config, set_by_dotted
+
+    cfg = load_config(args.config)
+    for opt in args.cfg_options:
+        k, v = opt.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        set_by_dotted(cfg, k, v)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    model = build_model_from_cfg(cfg, train=True)
+
+    data_cfg = cfg.get("data", {})
+    cap = cfg.get("capacity", {})
+    max_points = cap.get("max_points", 65536)
+    batch_size = data_cfg.get("samples_per_device", 1) * jax.local_device_count()
+
+    if args.synthetic or data_cfg.get("dataset") == "synthetic":
+        dataset = SyntheticDataset(
+            num_samples=max(batch_size * 8, 64),
+            num_points=min(max_points, 32768),
+            pc_range=model.point_cloud_range,
+            pipeline=build_pipeline([
+                dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
+                dict(type="PadToCap", max_points=max_points),
+            ]),
+        )
+    else:
+        dataset = WaymoDataset(
+            data_root=data_cfg["data_root"],
+            info_path=data_cfg["info_path"],
+            load_interval=data_cfg.get("load_interval", 1),
+            pipeline=build_pipeline(
+                data_cfg.get("train_pipeline", [
+                    dict(type="RandomFlip3D"),
+                    dict(type="GlobalRotScaleTrans"),
+                    dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
+                    dict(type="ObjectRangeFilter", point_cloud_range=model.point_cloud_range),
+                    dict(type="PointShuffle"),
+                    dict(type="PadToCap", max_points=max_points),
+                ])
+            ),
+        )
+
+    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed)
+    total_steps = args.max_steps or cfg.get("schedule", {}).get("max_steps", 10000)
+    opt_cfg = cfg.get("optimizer", {})
+    tx = make_optimizer(
+        base_lr=opt_cfg.get("base_lr", 1e-5),
+        weight_decay=opt_cfg.get("weight_decay", 0.05),
+        total_steps=total_steps,
+        clip_norm=opt_cfg.get("clip_norm", 10.0),
+    )
+
+    sample_batch = next(iter(loader))
+    init_fn = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "shuffle": jax.random.PRNGKey(args.seed + 1)},
+            b, train=False,
+        )
+    )
+    variables = init_fn(sample_batch)
+    state = create_train_state(model, variables, tx)
+
+    if args.resume_from:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(args.resume_from), state)
+        state = restored
+
+    mesh = make_data_mesh()
+    step_fn = make_jitted_train_step(model, mesh)
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+
+    step = int(state.step)
+    t0 = time.time()
+    with mesh, open(log_path, "a") as logf:
+        while step < total_steps:
+            for batch in loader:
+                if step >= total_steps:
+                    break
+                sb = shard_batch(batch, mesh)
+                state, metrics = step_fn(state, sb, jax.random.PRNGKey(step))
+                step += 1
+                if step % args.log_interval == 0 or step == 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["step"] = step
+                    m["wall"] = round(time.time() - t0, 1)
+                    logf.write(json.dumps(m) + "\n")
+                    logf.flush()
+                    print(
+                        f"step {step}/{total_steps} "
+                        f"loss={m['loss_total']:.4f} ({m['wall']}s)",
+                        flush=True,
+                    )
+                if step % args.ckpt_interval == 0 or step == total_steps:
+                    import orbax.checkpoint as ocp
+
+                    ckptr = ocp.StandardCheckpointer()
+                    path = os.path.abspath(
+                        os.path.join(args.work_dir, f"ckpt_{step}")
+                    )
+                    ckptr.save(path, state, force=True)
+                    ckptr.wait_until_finished()
+                    print(f"saved {path}", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
