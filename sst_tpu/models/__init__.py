@@ -1,4 +1,11 @@
 from sst_tpu.models.detectors.dynamic_voxelnet import DynamicVoxelNet, PointBatch
+from sst_tpu.models.fsd import (
+    FSD,
+    FSDV2,
+    SingleStageFSD,
+    SingleStageFSDV2,
+    VoteSegmentor,
+)
 from sst_tpu.models.heads.anchor3d import Anchor3DHead
 from sst_tpu.models.second import SECOND, SECONDFPN
 from sst_tpu.models.sst import SSTv2
@@ -6,5 +13,6 @@ from sst_tpu.models.sst_input import SSTPlan, sst_input_layer
 from sst_tpu.models.vfe import DynamicVFE
 from sst_tpu.utils.registry import MODELS
 
-for _cls in (DynamicVoxelNet, Anchor3DHead, SECOND, SECONDFPN, SSTv2, DynamicVFE):
+for _cls in (DynamicVoxelNet, Anchor3DHead, SECOND, SECONDFPN, SSTv2, DynamicVFE,
+             FSD, FSDV2, SingleStageFSD, SingleStageFSDV2, VoteSegmentor):
     MODELS.register(_cls)

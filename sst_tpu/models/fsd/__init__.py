@@ -8,3 +8,4 @@ from sst_tpu.models.fsd.roi_head import (
     dynamic_point_pool,
 )
 from sst_tpu.models.fsd.two_stage import FSD
+from sst_tpu.models.fsd.fsdv2 import FSDV2, FSDV2Caps, SingleStageFSDV2

@@ -190,3 +190,28 @@ class SimpleSparseUNet(nn.Module):
         if self.return_multiscale:
             out["decoder_features"] = decode
         return out
+
+
+class VirtualVoxelMixer(nn.Module):
+    """FSDv2's small sparse UNet over the virtual-voxel grid + submanifold
+    conv_out (reference sparse_unet.py:417-505)."""
+
+    base_channels: int = 64
+    output_channels: int = 128
+    encoder_channels: tuple = ((64,), (64, 64), (64, 64))
+    decoder_channels: tuple = ((64, 64, 64), (64, 64, 64), (64, 64, 64))
+    act: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, plan: UNetPlan, train: bool = False):
+        out = SimpleSparseUNet(
+            base_channels=self.base_channels,
+            encoder_channels=self.encoder_channels,
+            decoder_channels=self.decoder_channels,
+            act=self.act, dtype=self.dtype, name="unet",
+        )(feats, plan, train)
+        x = SparseConvLayer(
+            self.output_channels, act=self.act, dtype=self.dtype, name="conv_out",
+        )(out["voxel_feats"], plan.subm_nbr[0], plan.levels[0].valid, train)
+        return x
