@@ -45,12 +45,31 @@ def slope_time(f, n1: int = 3, n2: int = 13):
     return (tb - ta) / (n2 - n1)
 
 
-def main():
+def bench_fsdv2(num_points: int = 196608):
+    """Primary metric: FSDv2-Waymo e2e inference (BASELINE.md north star)."""
+    import jax
+
+    from sst_tpu.flagship import fsdv2_waymo, synthetic_waymo_batch
+
+    model = fsdv2_waymo()
+    batch = synthetic_waymo_batch(
+        batch_size=1, num_points=num_points, num_extra_feats=2, pcr_half=79.8
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    _drain(variables)
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
+    _drain(predict(variables, batch))
+    return slope_time(lambda: predict(variables, batch))
+
+
+def bench_sst(num_points: int = 196608):
+    """Secondary: SST-Waymo (DynamicVoxelNet) e2e inference."""
     import jax
 
     from sst_tpu.flagship import sst_waymo, synthetic_waymo_batch
 
-    num_points = 196608
     # init params on a tiny-caps clone (params are capacity-independent)
     tmp = sst_waymo(max_points=2048, max_voxels=1024, train_buckets=False)
     small = tmp.clone(
@@ -58,34 +77,45 @@ def main():
         buckets=tuple(b.replace(max_windows=32) for b in tmp.buckets),
     )
     sb = synthetic_waymo_batch(batch_size=1, num_points=2048)
-    init_fn = jax.jit(
+    variables = jax.jit(
         lambda b: small.init(
             {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
             b, train=False,
         )
-    )
-    variables = init_fn(sb)
+    )(sb)
     _drain(variables)
 
     model = sst_waymo(max_points=num_points, max_voxels=65536, train_buckets=False)
     batch = synthetic_waymo_batch(batch_size=1, num_points=num_points)
-
     predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
-    out = predict(variables, batch)
-    _drain(out)  # compile + first exec
+    _drain(predict(variables, batch))
+    return slope_time(lambda: predict(variables, batch))
 
-    per_frame = slope_time(lambda: predict(variables, batch))
+
+def main():
+    num_points = 196608
+    per_frame = bench_fsdv2(num_points)
     fps = 1.0 / per_frame
+    extra = {}
+    try:
+        sst_per = bench_sst(num_points)
+        extra = {
+            "sst_fps": round(1.0 / sst_per, 3),
+            "sst_p50_latency_ms": round(sst_per * 1e3, 2),
+        }
+    except Exception as e:  # secondary metric must not sink the primary
+        extra = {"sst_error": repr(e)[:200]}
     print(
         json.dumps(
             {
-                "metric": "sst_waymo_e2e_inference_fps_batch1",
+                "metric": "fsdv2_waymo_e2e_inference_fps_batch1",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / ASSUMED_REF_FPS, 3),
                 "p50_latency_ms": round(per_frame * 1e3, 2),
                 "num_points": num_points,
                 "note": "synthetic Waymo-density frame; vs_baseline uses assumed 10 FPS A100 reference",
+                **extra,
             }
         )
     )

@@ -1,8 +1,13 @@
 from sst_tpu.data.datasets import (
+    Argo2Dataset,
+    CBGSDataset,
     Custom3DDataset,
+    KittiDataset,
+    NuScenesDataset,
     SyntheticDataset,
     WaymoDataset,
     collate_to_batch,
 )
+from sst_tpu.data.dbsampler import DataBaseSampler, ObjectSample
 from sst_tpu.data.loader import DataLoader
 from sst_tpu.data import pipelines  # noqa: F401 (registers transforms)

@@ -117,7 +117,228 @@ class WaymoDataset(Custom3DDataset):
             )
             sample["gt_boxes"] = boxes
             sample["gt_labels"] = labels
+            sample["gt_names"] = list(names[keep])
         return sample
+
+    # -------------------------------------------------- waymo-protocol output
+
+    def format_results(self, results, pklfile_prefix: str):
+        """results[i]: dict(boxes_3d [N,7+], scores_3d [N], labels_3d [N])
+        → serialized WOD Objects bin (waymo_dataset.py:715
+        fast_convert_to_waymo), using the converter-produced
+        idx2timestamp.pkl / idx2contextname.pkl maps."""
+        from sst_tpu.core.waymo_bin import write_waymo_bin
+
+        with open(os.path.join(self.data_root, "idx2timestamp.pkl"), "rb") as f:
+            idx2ts = pickle.load(f)
+        with open(os.path.join(self.data_root, "idx2contextname.pkl"), "rb") as f:
+            idx2ctx = pickle.load(f)
+        frames = []
+        for idx, res in enumerate(results):
+            sample_idx = self.infos[idx]["image"]["image_idx"]
+            key = f"{sample_idx:07d}"
+            frames.append(dict(
+                boxes=np.asarray(res["boxes_3d"]),
+                scores=np.asarray(res["scores_3d"]),
+                labels=np.asarray(res["labels_3d"]),
+                context_name=idx2ctx[key],
+                timestamp_micros=idx2ts[key],
+            ))
+        path = pklfile_prefix if pklfile_prefix.endswith(".bin") else \
+            pklfile_prefix + ".bin"
+        return write_waymo_bin(path, frames, tuple(self.classes))
+
+    def evaluate(self, results, metric: str = "fast",
+                 pklfile_prefix: str | None = None,
+                 waymo_metrics_bin: str = "compute_detection_metrics_main",
+                 gt_bin: str | None = None):
+        """`fast`/`waymo`: write the Objects bin and invoke the official WOD
+        metric binary when present (waymo_dataset.py:354-415); falls back to
+        the internal numpy AP protocol otherwise. `kitti`: internal AP only."""
+        import shutil
+        import subprocess
+
+        out = {}
+        if metric in ("fast", "waymo") and pklfile_prefix is not None:
+            bin_path = self.format_results(results, pklfile_prefix)
+            out["bin"] = bin_path
+            if gt_bin is not None and shutil.which(waymo_metrics_bin):
+                proc = subprocess.run(
+                    [waymo_metrics_bin, bin_path, gt_bin],
+                    capture_output=True, text=True,
+                )
+                out["waymo_stdout"] = proc.stdout
+                return out
+        from sst_tpu.core.evaluation import eval_ap
+
+        gts = []
+        for info in self.infos:
+            annos = info.get("annos", {})
+            names = np.asarray(annos.get("name", [])).reshape(-1)
+            keep = np.isin(names, self.classes)
+            rect = info.get("calib", {}).get("R0_rect")
+            trv2c = info.get("calib", {}).get("Tr_velo_to_cam")
+            boxes = camera_to_lidar_boxes(
+                {k: v[keep] for k, v in annos.items()
+                 if k in ("location", "dimensions", "rotation_y")},
+                rect, trv2c,
+            ) if keep.any() else np.zeros((0, 7), np.float32)
+            labels = np.asarray(
+                [self.classes.index(n) for n in names[keep]], np.int32)
+            gts.append(dict(boxes=boxes, labels=labels))
+        preds = [
+            dict(boxes=np.asarray(r["boxes_3d"]),
+                 scores=np.asarray(r["scores_3d"]),
+                 labels=np.asarray(r["labels_3d"]))
+            for r in results
+        ]
+        out.update(eval_ap(preds, gts, list(self.classes)))
+        return out
+
+
+@DATASETS.register
+class KittiDataset(WaymoDataset):
+    """KITTI 3D detection (datasets/kitti_dataset.py): same kitti-format info
+    schema as the Waymo converter output, 4-channel points."""
+
+    CLASSES = ("Car", "Pedestrian", "Cyclist")
+
+    def __init__(self, *args, load_dim: int = 4, use_dim=(0, 1, 2, 3), **kw):
+        super().__init__(*args, load_dim=load_dim, use_dim=use_dim, **kw)
+
+
+@DATASETS.register
+class NuScenesDataset(Custom3DDataset):
+    """nuScenes (datasets/nuscenes_dataset.py): infos carry LiDAR-frame boxes
+    directly (gt_boxes [G, 7], gt_names, gt_velocity [G, 2]); code_size 9
+    boxes = [x y z w l h yaw vx vy]."""
+
+    CLASSES = (
+        "car", "truck", "trailer", "bus", "construction_vehicle", "bicycle",
+        "motorcycle", "pedestrian", "traffic_cone", "barrier",
+    )
+
+    def __init__(self, *args, load_dim: int = 5, use_dim=(0, 1, 2, 3, 4),
+                 with_velocity: bool = True, use_valid_flag: bool = True,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.with_velocity = with_velocity
+        self.use_valid_flag = use_valid_flag
+
+    def get_sample(self, idx: int) -> dict:
+        info = self.infos[idx]
+        path = info.get("lidar_path") or info["point_cloud"]["velodyne_path"]
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_root, path)
+        points = np.fromfile(path, dtype=np.float32).reshape(-1, self.load_dim)
+        sample = {
+            "points": points[:, self.use_dim],
+            "idx": idx,
+            "info": info,
+            "timestamp": info.get("timestamp", 0.0),
+            "sweeps": info.get("sweeps", []),
+        }
+        if "gt_boxes" in info:
+            boxes = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 7)
+            names = np.asarray(info["gt_names"]).reshape(-1)
+            mask = (
+                np.asarray(info["valid_flag"], bool)
+                if self.use_valid_flag and "valid_flag" in info
+                else np.asarray(info.get("num_lidar_pts", np.ones(len(boxes)))) > 0
+            )
+            keep = mask & np.isin(names, self.classes)
+            boxes = boxes[keep]
+            names = names[keep]
+            if self.with_velocity:
+                vel = np.asarray(info.get(
+                    "gt_velocity", np.zeros((len(mask), 2))), np.float32)[keep]
+                vel = np.nan_to_num(vel)
+                boxes = np.concatenate([boxes, vel], axis=1)
+            sample["gt_boxes"] = boxes
+            sample["gt_labels"] = np.asarray(
+                [self.classes.index(n) for n in names], np.int32
+            )
+            sample["gt_names"] = list(names)
+        return sample
+
+    def class_counts(self):
+        counts = np.zeros(len(self.classes), np.int64)
+        for info in self.infos:
+            names = np.asarray(info.get("gt_names", [])).reshape(-1)
+            for n in names:
+                if n in self.classes:
+                    counts[self.classes.index(n)] += 1
+        return counts
+
+
+@DATASETS.register
+class Argo2Dataset(NuScenesDataset):
+    """Argoverse 2 sensor dataset (datasets/argo2_dataset.py): 26-class,
+    LiDAR-frame infos produced by tools/argo converters; no velocity."""
+
+    CLASSES = (
+        "Regular_vehicle", "Pedestrian", "Bicyclist", "Motorcyclist",
+        "Wheeled_rider", "Bollard", "Construction_cone", "Sign",
+        "Construction_barrel", "Stop_sign", "Mobile_pedestrian_crossing_sign",
+        "Large_vehicle", "Bus", "Box_truck", "Truck", "Vehicular_trailer",
+        "Truck_cab", "School_bus", "Articulated_bus", "Message_board_trailer",
+        "Bicycle", "Motorcycle", "Wheeled_device", "Wheelchair", "Stroller",
+        "Dog",
+    )
+
+    def __init__(self, *args, with_velocity: bool = False, **kw):
+        super().__init__(*args, with_velocity=with_velocity, **kw)
+
+
+@DATASETS.register
+class CBGSDataset:
+    """Class-balanced resampling wrapper (datasets/dataset_wrappers.py
+    CBGSDataset, nuScenes recipe): duplicate sample indices so every class's
+    expected frequency approaches 1/num_classes."""
+
+    def __init__(self, dataset):
+        from sst_tpu.utils.registry import DATASETS as _D
+
+        self.dataset = (
+            _D.build(dataset) if isinstance(dataset, dict) else dataset
+        )
+        self.sample_indices = self._balanced_indices()
+        self.classes = self.dataset.classes
+
+    def _balanced_indices(self):
+        ds = self.dataset
+        num_classes = len(ds.classes)
+        cls_to_samples = {c: [] for c in range(num_classes)}
+        for i in range(len(ds)):
+            info = ds.infos[i]
+            names = np.asarray(info.get(
+                "gt_names", info.get("annos", {}).get("name", []))).reshape(-1)
+            labels = {ds.classes.index(n) for n in names if n in ds.classes}
+            for l in labels:
+                cls_to_samples[l].append(i)
+        duplicated = sum(len(v) for v in cls_to_samples.values())
+        if duplicated == 0:
+            return list(range(len(ds)))
+        frac = 1.0 / num_classes
+        ratios = [frac / (len(v) / duplicated) if len(v) else 0.0
+                  for v in cls_to_samples.values()]
+        out = []
+        rng = np.random.RandomState(0)
+        for cls, ratio in enumerate(ratios):
+            pool = cls_to_samples[cls]
+            if not pool:
+                continue
+            n = int(len(pool) * ratio)
+            out.extend(rng.choice(pool, n).tolist())
+        return out or list(range(len(ds)))
+
+    def __len__(self):
+        return len(self.sample_indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.sample_indices[idx]]
 
 
 @DATASETS.register

@@ -58,7 +58,116 @@ def sst_waymo(max_points: int = 196608, max_voxels: int = 65536,
     )
 
 
-def synthetic_waymo_batch(batch_size: int = 1, num_points: int = 196608, seed: int = 0):
+def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False):
+    """Full-scale FSDv2-Waymo (configs/fsdv2/fsdv2_waymo_1x.py), the
+    BASELINE.md flagship: seg voxels 0.25x0.25x0.2 over (-80,80) range,
+    6-stage SimpleSparseUNet, 0.5m virtual voxels, VirtualVoxelMixer."""
+    import jax.numpy as jnp
+
+    from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
+
+    dtype = dtype or jnp.float32
+    return SingleStageFSDV2(
+        point_cloud_range=(-80.0, -80.0, -2.0, 80.0, 80.0, 4.0),
+        virtual_voxel_size=(0.5, 0.5, 0.5),
+        score_thresh=(0.3, 0.25, 0.25),
+        caps=FSDV2Caps(
+            fg_per_class=(8192, 4096, 4096),
+            voxels=65536,
+            union_voxels=81920,
+            virtual_out=16384,
+        ),
+        multiscale_levels=(0, 1),
+        ms_projector_hiddens=((128,), (128,)),
+        ms_output_dim=128,
+        segmentor=dict(
+            voxel_size=(0.25, 0.25, 0.2),
+            max_voxels=131072,
+            unet_level_caps=(131072, 65536, 32768, 16384, 8192, 4096),
+            unet_strides=((2, 2, 2),) * 5,
+            unet_paddings=((1, 1, 1),) * 5,
+            vfe=dict(feat_channels=(64, 64), mode="max"),
+            unet=dict(
+                in_channels=64, base_channels=64,
+                encoder_channels=((128,), (128, 128), (128, 128),
+                                  (128, 128, 128), (256, 256, 256),
+                                  (256, 256, 256)),
+                decoder_channels=((256, 256, 256), (256, 256, 128),
+                                  (128, 128, 128), (128, 128, 128),
+                                  (128, 128, 128), (128, 128, 128)),
+            ),
+            head=dict(num_classes=3, hidden_dims=(128, 128)),
+        ),
+        vfe=dict(feat_channels=(64, 128), mode="max"),
+        mixer=dict(
+            base_channels=64, output_channels=128,
+            encoder_channels=((64,), (64, 64), (64, 64)),
+            decoder_channels=((64, 64, 64), (64, 64, 64), (64, 64, 64)),
+        ),
+        head=dict(
+            in_channel=128,
+            shared_mlp_dims=(256, 256),
+            common_attrs=(("center", 3, 2, 128), ("dim", 3, 2, 128),
+                          ("rot", 2, 2, 128)),
+            num_cls_layer=2,
+            cls_hidden_dim=128,
+        ),
+        as_rpn=as_rpn,
+        test_cfg=dict(score_thr=0.1, nms_thr=0.25, nms_pre=1024, max_num=500,
+                      use_rotate_nms=True),
+        dtype=dtype,
+    )
+
+
+def tiny_fsdv2_flagship(grid: int = 16):
+    """Small FSDv2 for the multi-chip dryrun (CPU mesh) and smoke tests."""
+    from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
+
+    half = grid * 0.5 / 2
+    return SingleStageFSDV2(
+        point_cloud_range=(-half, -half, -2.0, half, half, 4.0),
+        virtual_voxel_size=(0.5, 0.5, 0.5),
+        score_thresh=(0.05, 0.05, 0.05),
+        caps=FSDV2Caps(fg_per_class=(64, 32, 32), voxels=256,
+                       union_voxels=512, virtual_out=64),
+        multiscale_levels=(0,),
+        ms_projector_hiddens=((16,),),
+        ms_output_dim=16,
+        segmentor=dict(
+            voxel_size=(0.5, 0.5, 0.5),
+            max_voxels=256,
+            unet_level_caps=(256, 128, 64),
+            unet_strides=((2, 2, 2),) * 2,
+            unet_paddings=((1, 1, 1),) * 2,
+            vfe=dict(feat_channels=(16, 16), mode="max"),
+            unet=dict(
+                in_channels=16, base_channels=16,
+                encoder_channels=((16,), (16, 16), (16, 16)),
+                decoder_channels=((16, 16, 16), (16, 16, 16), (16, 16, 16)),
+            ),
+            head=dict(num_classes=3, hidden_dims=(16, 16)),
+        ),
+        vfe=dict(feat_channels=(16, 16), mode="max"),
+        mixer=dict(
+            base_channels=16, output_channels=16,
+            encoder_channels=((16,), (16, 16)),
+            decoder_channels=((16, 16, 16), (16, 16, 16)),
+        ),
+        mixer_strides=((2, 2, 2),),
+        mixer_paddings=((1, 1, 1),),
+        head=dict(
+            in_channel=16, shared_mlp_dims=(32,),
+            common_attrs=(("center", 3, 1, 16), ("dim", 3, 1, 16),
+                          ("rot", 2, 1, 16)),
+            num_cls_layer=1, cls_hidden_dim=16,
+        ),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=32, max_num=16,
+                      use_rotate_nms=True),
+    )
+
+
+def synthetic_waymo_batch(batch_size: int = 1, num_points: int = 196608, seed: int = 0,
+                          num_extra_feats: int = 0, pcr_half: float = 74.8):
     """A Waymo-like synthetic frame (plausible density distribution)."""
     import jax.numpy as jnp
 
@@ -71,7 +180,11 @@ def synthetic_waymo_batch(batch_size: int = 1, num_points: int = 196608, seed: i
     y = (r * np.sin(th)).astype(np.float32)
     z = rng.uniform(-1.5, 3.0, (batch_size, p)).astype(np.float32)
     pts = np.stack([x, y, z], -1)
-    valid = (np.abs(x) < 74.8) & (np.abs(y) < 74.8)
+    if num_extra_feats:
+        pts = np.concatenate(
+            [pts, rng.rand(batch_size, p, num_extra_feats).astype(np.float32)], -1
+        )
+    valid = (np.abs(x) < pcr_half) & (np.abs(y) < pcr_half)
     g = 64
     boxes = np.concatenate(
         [

@@ -4,6 +4,7 @@ from sst_tpu.models.fsd import (
     FSDV2,
     SingleStageFSD,
     SingleStageFSDV2,
+    TwoStageFSDPP,
     VoteSegmentor,
 )
 from sst_tpu.models.heads.anchor3d import Anchor3DHead
@@ -14,5 +15,6 @@ from sst_tpu.models.vfe import DynamicVFE
 from sst_tpu.utils.registry import MODELS
 
 for _cls in (DynamicVoxelNet, Anchor3DHead, SECOND, SECONDFPN, SSTv2, DynamicVFE,
-             FSD, FSDV2, SingleStageFSD, SingleStageFSDV2, VoteSegmentor):
+             FSD, FSDV2, SingleStageFSD, SingleStageFSDV2, TwoStageFSDPP,
+             VoteSegmentor):
     MODELS.register(_cls)

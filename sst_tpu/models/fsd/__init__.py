@@ -9,3 +9,4 @@ from sst_tpu.models.fsd.roi_head import (
 )
 from sst_tpu.models.fsd.two_stage import FSD
 from sst_tpu.models.fsd.fsdv2 import FSDV2, FSDV2Caps, SingleStageFSDV2
+from sst_tpu.models.fsd.fsdpp import TemporalBatch, TwoStageFSDPP

@@ -59,13 +59,25 @@ def make_sparse_grid(coords, valid, grid, batch_size, cap=None) -> SparseGrid:
 
 
 def build_canvas(sg: SparseGrid) -> jax.Array:
-    """Dense flat [B*nz*ny*nx] int32 canvas mapping key → site index (cap for
-    empty cells)."""
+    """Column canvas [B*ny*nx + 1, nz+2] int32 mapping (xy-cell, z+1) → site
+    index (cap for empty slots).
+
+    Layout rationale (TPU): neighbor lookup via a flat [B*nz*ny*nx] canvas
+    needs 27 scalar gathers per site — measured ~25 ms per table at 131k
+    voxels. Grouping z into rows turns that into 9 *row* gathers (the fast
+    embedding-lookup path) + a vectorized one-hot z-select. The ±1 ghost z
+    slots and the trailing all-cap row keep every lookup in bounds, so no
+    per-tap scatter/where on addresses is needed.
+    """
     nz, ny, nx = sg.grid
-    size = sg.batch_size * nz * ny * nx
-    idx = jnp.arange(sg.cap, dtype=jnp.int32)
-    safe_keys = jnp.where(sg.valid, sg.keys, size)
-    return jnp.full((size,), sg.cap, jnp.int32).at[safe_keys].set(idx, mode="drop")
+    nzp = nz + 2
+    ncells = sg.batch_size * ny * nx
+    c = sg.coords
+    pos = ((c[:, 0] * ny + c[:, 2]) * nx + c[:, 3]) * nzp + c[:, 1] + 1
+    pos = jnp.where(sg.valid, pos, ncells * nzp)
+    flat = jnp.full(((ncells + 1) * nzp,), sg.cap, jnp.int32)
+    flat = flat.at[pos].set(jnp.arange(sg.cap, dtype=jnp.int32), mode="drop")
+    return flat.reshape(ncells + 1, nzp)
 
 
 def _kernel_offsets(kernel_size: int = 3):
@@ -79,23 +91,36 @@ def _kernel_offsets(kernel_size: int = 3):
     return np.asarray(offs, np.int32)  # [K^3, 3]
 
 
+def _zselect(cols: jax.Array, z_target: jax.Array) -> jax.Array:
+    """cols [V, nzp] site ids; z_target [V] (ghost-shifted, clipped). Returns
+    cols[v, z_target[v]] as a one-hot multiply-reduce (no minor-axis gather)."""
+    nzp = cols.shape[-1]
+    iota = jnp.arange(nzp, dtype=jnp.int32)
+    onehot = iota[None, :] == z_target[:, None]
+    return jnp.where(onehot, cols, 0).sum(axis=-1)
+
+
 def subm_neighbor_table(sg: SparseGrid, canvas: jax.Array, kernel_size: int = 3):
     """[K^3, V] int32 neighbor site indices (cap = missing)."""
+    assert kernel_size == 3, "3x3x3 only (spconv parity)"
     nz, ny, nx = sg.grid
-    offs = jnp.asarray(_kernel_offsets(kernel_size))  # [K,3]
-    b = sg.coords[:, 0]
-    zyx = sg.coords[:, 1:4]  # [V,3]
-    nco = zyx[None, :, :] + offs[:, None, :]  # [K, V, 3]
-    in_bounds = (
-        (nco[..., 0] >= 0) & (nco[..., 0] < nz)
-        & (nco[..., 1] >= 0) & (nco[..., 1] < ny)
-        & (nco[..., 2] >= 0) & (nco[..., 2] < nx)
-        & sg.valid[None, :]
+    nzp = nz + 2
+    ncells = sg.batch_size * ny * nx
+    b, z, y, x = (sg.coords[:, i] for i in range(4))
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy, xx = y + dy, x + dx
+            ok = sg.valid & (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx)
+            cell = jnp.where(ok, (b * ny + yy) * nx + xx, ncells)
+            cols = canvas[cell]  # [V, nzp] row gather
+            for dz in (-1, 0, 1):
+                zt = jnp.clip(z + dz + 1, 0, nzp - 1)
+                taps[(dz, dy, dx)] = jnp.where(ok, _zselect(cols, zt), sg.cap)
+    return jnp.stack(
+        [taps[(dz, dy, dx)] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)]
     )
-    nkey = ((b[None, :] * nz + nco[..., 0]) * ny + nco[..., 1]) * nx + nco[..., 2]
-    nkey = jnp.where(in_bounds, nkey, 0)
-    nbr = canvas[nkey]
-    return jnp.where(in_bounds, nbr, sg.cap)
 
 
 def gather_gemm(features: jax.Array, nbr: jax.Array, weights: jax.Array) -> jax.Array:
@@ -153,9 +178,22 @@ def downsample_grid(
                 cands.append((jnp.where(ok, key, -1).astype(jnp.int32), ok))
     all_keys = jnp.concatenate([c[0] for c in cands])
     all_ok = jnp.concatenate([c[1] for c in cands])
-    uniq = unique_segments(all_keys, all_ok, cap_out)
-    out_valid = uniq.unique_keys != jnp.iinfo(jnp.int32).max
-    uk = jnp.where(out_valid, uniq.unique_keys, 0)
+    # sort-free dedup: mark an occupancy canvas, then rank occupied cells by
+    # prefix sum — output keys come out in ascending order (the SparseGrid
+    # invariant) at ~1/3 the cost of sorting the 8V candidate list.
+    size = sg.batch_size * oz * oy * ox
+    occ = jnp.zeros((size + 1,), jnp.bool_).at[
+        jnp.where(all_ok, all_keys, size)
+    ].set(True, mode="drop")[:size]
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    slot = jnp.where(occ, rank, cap_out)
+    sentinel = jnp.iinfo(jnp.int32).max
+    out_keys = (
+        jnp.full((cap_out,), sentinel, jnp.int32)
+        .at[slot].set(jnp.arange(size, dtype=jnp.int32), mode="drop")
+    )
+    out_valid = out_keys != sentinel
+    uk = jnp.where(out_valid, out_keys, 0)
     x = uk % ox
     r = uk // ox
     y = r % oy
@@ -166,8 +204,7 @@ def downsample_grid(
         out_valid[:, None], jnp.stack([bb, z, y, x], -1), -1
     ).astype(jnp.int32)
     out_sg = SparseGrid(
-        keys=jnp.where(out_valid, uniq.unique_keys, jnp.iinfo(jnp.int32).max),
-        coords=out_coords, valid=out_valid, grid=out_shape,
+        keys=out_keys, coords=out_coords, valid=out_valid, grid=out_shape,
         batch_size=sg.batch_size,
     )
     return out_sg
@@ -179,23 +216,29 @@ def strided_neighbor_table(
 ):
     """[K^3, Vout] input-site indices for a strided conv: input coord of tap k
     at output o is o*s - p + offs[k] (in the input grid)."""
+    assert kernel_size == 3
     nz, ny, nx = in_sg.grid
-    offs = jnp.asarray(_kernel_offsets(kernel_size) )
-    s = jnp.asarray(stride, jnp.int32)
-    p = jnp.asarray(padding, jnp.int32)
-    base = out_sg.coords[:, 1:4] * s[None] - p[None]  # [Vout,3]
-    ico = base[None] + offs[:, None, :]  # [K, Vout, 3]
+    nzp = nz + 2
+    ncells = in_sg.batch_size * ny * nx
+    sz, sy, sx = stride
+    pz, py, px = padding
     b = out_sg.coords[:, 0]
-    ok = (
-        (ico[..., 0] >= 0) & (ico[..., 0] < nz)
-        & (ico[..., 1] >= 0) & (ico[..., 1] < ny)
-        & (ico[..., 2] >= 0) & (ico[..., 2] < nx)
-        & out_sg.valid[None, :]
+    oz, oy, ox = (out_sg.coords[:, i] for i in (1, 2, 3))
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy = oy * sy - py + dy
+            xx = ox * sx - px + dx
+            ok = out_sg.valid & (yy >= 0) & (yy < ny) & (xx >= 0) & (xx < nx)
+            cell = jnp.where(ok, (b * ny + yy) * nx + xx, ncells)
+            cols = in_canvas[cell]
+            for dz in (-1, 0, 1):
+                zt = jnp.clip(oz * sz - pz + dz + 1, 0, nzp - 1)
+                taps[(dz, dy, dx)] = jnp.where(ok, _zselect(cols, zt), in_sg.cap)
+    return jnp.stack(
+        [taps[(dz, dy, dx)] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)]
     )
-    ikey = ((b[None] * nz + ico[..., 0]) * ny + ico[..., 1]) * nx + ico[..., 2]
-    ikey = jnp.where(ok, ikey, 0)
-    nbr = in_canvas[ikey]
-    return jnp.where(ok, nbr, in_sg.cap)
 
 
 def inverse_neighbor_table(
@@ -206,22 +249,36 @@ def inverse_neighbor_table(
     (pre-downsample) level; tap k of output i reads the downsampled site o
     with o*s - p + offs[k] == i, i.e. o = (i + p - offs[k]) / s when integral.
     """
-    oz, oy, ox = down_sg.grid
-    offs = jnp.asarray(_kernel_offsets(kernel_size))
-    s = jnp.asarray(stride, jnp.int32)
-    p = jnp.asarray(padding, jnp.int32)
-    num = out_sg.coords[None, :, 1:4] + p[None, None] - offs[:, None, :]  # [K,V,3]
-    o = num // s[None, None]
-    exact = (o * s[None, None] == num).all(-1)
+    assert kernel_size == 3
+    dz_, dy_, dx_ = down_sg.grid
+    nzp = dz_ + 2
+    ncells = down_sg.batch_size * dy_ * dx_
+    sz, sy, sx = stride
+    pz, py, px = padding
     b = out_sg.coords[:, 0]
-    ok = (
-        exact
-        & (o[..., 0] >= 0) & (o[..., 0] < oz)
-        & (o[..., 1] >= 0) & (o[..., 1] < oy)
-        & (o[..., 2] >= 0) & (o[..., 2] < ox)
-        & out_sg.valid[None, :]
+    z, y, x = (out_sg.coords[:, i] for i in (1, 2, 3))
+    taps = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ny_num = y + py - dy
+            nx_num = x + px - dx
+            oy = ny_num // sy
+            ox = nx_num // sx
+            ok = (
+                out_sg.valid
+                & (oy * sy == ny_num) & (ox * sx == nx_num)
+                & (oy >= 0) & (oy < dy_) & (ox >= 0) & (ox < dx_)
+            )
+            cell = jnp.where(ok, (b * dy_ + oy) * dx_ + ox, ncells)
+            cols = down_canvas[cell]
+            for dz in (-1, 0, 1):
+                nz_num = z + pz - dz
+                oz = nz_num // sz
+                exact_z = oz * sz == nz_num
+                zt = jnp.clip(oz + 1, 0, nzp - 1)
+                val = jnp.where(ok & exact_z, _zselect(cols, zt), down_sg.cap)
+                taps[(dz, dy, dx)] = val
+    return jnp.stack(
+        [taps[(dz, dy, dx)] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)]
     )
-    okey = ((b[None] * oz + o[..., 0]) * oy + o[..., 1]) * ox + o[..., 2]
-    okey = jnp.where(ok, okey, 0)
-    nbr = down_canvas[okey]
-    return jnp.where(ok, nbr, down_sg.cap)

@@ -1,0 +1,137 @@
+"""FSD++ tests: incremental residual ops, pose transforms, and the
+TwoStageFSDPP detector loss/predict on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sst_tpu.models.fsd import TemporalBatch, TwoStageFSDPP
+from sst_tpu.ops.incremental import (
+    box_frame_transform,
+    delta_points_mask,
+    points_frame_transform,
+)
+from tests.test_fsd import make_batch, tiny_fsd
+
+PCR = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
+
+
+def test_points_frame_transform_roundtrip():
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(50, 3).astype(np.float32))
+    th = 0.4
+    pose = np.eye(4, dtype=np.float32)
+    pose[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    pose[:3, 3] = [2.0, -1.0, 0.5]
+    pose = jnp.asarray(pose)
+    cur_inv = jnp.asarray(np.linalg.inv(np.asarray(pose)))
+    # prev frame == current frame pose → identity
+    out = points_frame_transform(pts, pose, cur_inv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-5)
+
+
+def test_box_frame_transform_yaw():
+    th = np.pi / 2
+    pre_pose = np.eye(4, dtype=np.float32)
+    pre_pose[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    cur_inv = jnp.asarray(np.eye(4, dtype=np.float32))
+    boxes = jnp.asarray([[1.0, 0, 0, 2, 4, 1.5, 0.0]])
+    out = np.asarray(box_frame_transform(boxes, jnp.asarray(pre_pose), cur_inv))
+    # center rotates 90 deg: (1,0) -> (0,1)
+    np.testing.assert_allclose(out[0, :2], [0, 1], atol=1e-5)
+    # yaw decreases by rotation in mmdet3d convention: heading vec
+    # (sin0, cos0)=(0,1) rotates to (-1,0) → atan2(-1,0) = -pi/2
+    np.testing.assert_allclose(out[0, 6], -np.pi / 2, atol=1e-5)
+
+
+def test_delta_points_mask():
+    cur = jnp.asarray([[0.1, 0.1, 0.0], [5.0, 5.0, 0.0], [20.0, 0, 0]],
+                      jnp.float32)
+    prev = jnp.asarray([[0.15, 0.12, 0.05]], jnp.float32)
+    m = np.asarray(delta_points_mask(
+        cur, jnp.ones(3, bool), prev, jnp.ones(1, bool),
+        (-8, -8, -2, 8, 8, 4), (0.4, 0.4, 0.4),
+    ))
+    assert not m[0]  # same voxel as prev → suppressed
+    assert m[1]  # new voxel → residual
+    assert m[2]  # out of range → kept
+
+
+def tiny_fsdpp():
+    ss = tiny_fsd()
+    cfg = {f.name: getattr(ss, f.name) for f in ss.__dataclass_fields__.values()
+           if f.name not in ("parent", "name", "dtype")}
+    return TwoStageFSDPP(
+        fsd=dict(
+            single_stage=cfg,
+            roi_head=dict(
+                max_inbox_point=32,
+                bbox_head=dict(
+                    num_blocks=2,
+                    feat_channels=((32, 32),) * 2,
+                    rel_mlp_hidden=((8, 8),) * 2,
+                    reg_mlp=(64, 64),
+                    cls_mlp=(64, 64),
+                ),
+            ),
+            rois_per_sample=16,
+        ),
+        point_cloud_range=PCR,
+        inc_voxel_size=(0.4, 0.4, 0.4),
+        pre_score_thr=0.1,
+        center_noise=0.1, dim_noise=0.05, yaw_noise=0.1,
+    )
+
+
+def make_temporal_batch(rng, b=2, p=1024, g=6, s=8):
+    base = make_batch(rng, b, p, g)
+    frame_inds = jnp.asarray(
+        rng.randint(0, 3, (b, p)).astype(np.int32))  # frames 0..2
+    seed_boxes = np.concatenate(
+        [rng.uniform(-6, 6, (b, s, 2)), np.full((b, s, 1), -0.5),
+         rng.uniform(1, 3, (b, s, 3)), rng.uniform(-3, 3, (b, s, 1))], -1,
+    ).astype(np.float32)
+    return TemporalBatch(
+        points=base.points, valid=base.valid, frame_inds=frame_inds,
+        gt_boxes=base.gt_boxes, gt_labels=base.gt_labels,
+        gt_valid=base.gt_valid,
+        seed_boxes=jnp.asarray(seed_boxes),
+        seed_labels=jnp.asarray(rng.randint(0, 3, (b, s)).astype(np.int32)),
+        seed_scores=jnp.asarray(rng.rand(b, s).astype(np.float32)),
+        seed_valid=jnp.ones((b, s), bool),
+    )
+
+
+@pytest.fixture(scope="module")
+def fsdpp_setup():
+    model = tiny_fsdpp()
+    rng = np.random.RandomState(4)
+    batch = make_temporal_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "seeds": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    return model, variables, batch
+
+
+def test_fsdpp_loss(fsdpp_setup):
+    model, variables, batch = fsdpp_setup
+    out, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        batch, train=True, method=model.loss,
+        rngs={"seeds": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    total = sum(v for k, v in out.items() if k.startswith("loss"))
+    assert np.isfinite(float(total)), {k: float(v) for k, v in out.items()}
+    assert float(out["num_input_points"]) > 0
+    # residual selection must drop a noticeable share of raw points
+    assert float(out["num_input_points"]) < batch.valid.sum()
+
+
+def test_fsdpp_predict(fsdpp_setup):
+    model, variables, batch = fsdpp_setup
+    out = model.apply(variables, batch, method=model.predict)
+    assert out["boxes"].shape[0] == 2
+    assert np.isfinite(np.asarray(out["boxes"])).all()

@@ -1,0 +1,101 @@
+"""Waymo Objects-bin serialization round trip + heading convention."""
+
+import math
+
+import numpy as np
+
+from sst_tpu.core.waymo_bin import (
+    encode_object,
+    lidar_to_waymo_heading,
+    read_waymo_bin,
+    waymo_box_to_lidar,
+    write_waymo_bin,
+)
+
+
+def test_heading_roundtrip():
+    for yaw in np.linspace(-3.1, 3.1, 17):
+        h = lidar_to_waymo_heading(float(yaw))
+        assert -math.pi <= h <= math.pi
+        back = waymo_box_to_lidar(dict(center_x=0, center_y=0, center_z=1,
+                                       width=1, length=1, height=2, heading=h))
+        # yaw recovered modulo 2pi
+        d = (back[6] - yaw) % (2 * math.pi)
+        assert min(d, 2 * math.pi - d) < 1e-5
+
+
+def test_bin_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    boxes = np.concatenate(
+        [rng.uniform(-50, 50, (5, 3)), rng.uniform(1, 4, (5, 3)),
+         rng.uniform(-3, 3, (5, 1))], axis=1,
+    ).astype(np.float32)
+    frames = [dict(
+        boxes=boxes, scores=rng.rand(5).astype(np.float32),
+        labels=np.array([0, 1, 2, 0, 1]),
+        context_name="ctx-123_segment", timestamp_micros=1510593618340000,
+    )]
+    path = str(tmp_path / "out.bin")
+    write_waymo_bin(path, frames)
+    objs = read_waymo_bin(path)
+    assert len(objs) == 5
+    o = objs[0]
+    assert o["context_name"] == "ctx-123_segment"
+    assert o["timestamp_micros"] == 1510593618340000
+    assert o["type"] == 1  # Car → TYPE_VEHICLE
+    assert abs(o["box"]["center_x"] - boxes[0, 0]) < 1e-9
+    assert abs(o["box"]["center_z"] - (boxes[0, 2] + boxes[0, 5] / 2)) < 1e-9
+    assert abs(o["box"]["width"] - boxes[0, 3]) < 1e-9
+    assert abs(o["box"]["length"] - boxes[0, 4]) < 1e-9
+    back = waymo_box_to_lidar(o["box"])
+    np.testing.assert_allclose(back[:6], boxes[0, :6], atol=1e-6)
+
+
+def test_waymo_dataset_format_results(tmp_path):
+    import pickle
+
+    from sst_tpu.data.datasets import WaymoDataset
+
+    # build a fake 2-frame kitti-format info pkl + maps
+    rng = np.random.RandomState(1)
+    infos = []
+    for i in range(2):
+        pts = rng.randn(100, 6).astype(np.float32)
+        rel = f"velo_{i}.bin"
+        pts.tofile(tmp_path / rel)
+        infos.append(dict(
+            point_cloud=dict(velodyne_path=rel),
+            image=dict(image_idx=i),
+            annos=dict(
+                name=np.array(["Car"]),
+                location=np.array([[1.0, 2.0, 3.0]], np.float32),
+                dimensions=np.array([[4.5, 1.6, 2.0]], np.float32),
+                rotation_y=np.array([0.3], np.float32),
+            ),
+        ))
+    with open(tmp_path / "infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    with open(tmp_path / "idx2timestamp.pkl", "wb") as f:
+        pickle.dump({f"{i:07d}": 1000 + i for i in range(2)}, f)
+    with open(tmp_path / "idx2contextname.pkl", "wb") as f:
+        pickle.dump({f"{i:07d}": f"seg{i}" for i in range(2)}, f)
+
+    ds = WaymoDataset(str(tmp_path), str(tmp_path / "infos.pkl"))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["points"].shape == (100, 5)
+    assert s["gt_boxes"].shape == (1, 7)
+
+    results = [
+        dict(boxes_3d=np.array([[1, 2, 0, 2, 4.5, 1.6, 0.3]], np.float32),
+             scores_3d=np.array([0.9]), labels_3d=np.array([0]))
+        for _ in range(2)
+    ]
+    out = ds.evaluate(results, metric="fast",
+                      pklfile_prefix=str(tmp_path / "res"))
+    assert "bin" in out
+    objs = read_waymo_bin(out["bin"])
+    assert len(objs) == 2
+    assert objs[0]["context_name"] == "seg0"
+    # internal AP fallback also computed
+    assert any(k for k in out if k != "bin")
