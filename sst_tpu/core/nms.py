@@ -57,6 +57,67 @@ def nms_bev(boxes, scores, valid, thr: float, use_rotate_nms: bool = True,
     return _greedy_suppress(iou, valid, thr)
 
 
+def _greedy_suppress_mask(sup_mat: jax.Array, valid: jax.Array) -> jax.Array:
+    """Greedy sweep where sup_mat[i, j] == True means "i suppresses j"."""
+    k = sup_mat.shape[0]
+
+    def body(i, keep):
+        alive = keep[i] & valid[i]
+        later = jnp.arange(k) > i
+        return keep & ~(alive & later & sup_mat[i])
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def circle_nms(centers, scores, valid, thresh: float):
+    """CenterPoint circular NMS (box3d_nms.py:294 numba kernel): suppress a
+    center if a higher-scoring kept center lies within sqrt(thresh) BEV
+    distance. Inputs must be score-sorted descending; returns keep mask."""
+    d2 = jnp.sum(
+        (centers[:, None, :2] - centers[None, :, :2]) ** 2, axis=-1
+    )
+    return _greedy_suppress_mask(d2 <= thresh, valid)
+
+
+def aligned_3d_nms(boxes_xyzxyz, scores, classes, valid, thresh: float):
+    """Axis-aligned 3D NMS (box3d_nms.py:243), class-gated; inputs
+    score-sorted descending. boxes: [K, 6] (x1 y1 z1 x2 y2 z2)."""
+    lt = jnp.maximum(boxes_xyzxyz[:, None, :3], boxes_xyzxyz[None, :, :3])
+    rb = jnp.minimum(boxes_xyzxyz[:, None, 3:], boxes_xyzxyz[None, :, 3:])
+    whd = jnp.maximum(rb - lt, 0.0)
+    inter = whd.prod(-1)
+    vol = jnp.prod(boxes_xyzxyz[:, 3:] - boxes_xyzxyz[:, :3], axis=-1)
+    iou = inter / jnp.maximum(vol[:, None] + vol[None, :] - inter, 1e-6)
+    iou = iou * (classes[:, None] == classes[None, :])
+    return _greedy_suppress_mask(iou > thresh, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("use_rotate_nms", "chunk"))
+def weighted_nms_bev(boxes, scores, valid, thr_lo: float, thr_hi: float,
+                     use_rotate_nms: bool = True, chunk: int = 256):
+    """Weighted NMS (box3d_multiclass_wnms box3d_nms.py:145, RangeDet's
+    wnms_4c): greedy suppression at IoU > thr_lo; each kept box is replaced
+    by the score-weighted average of all candidates with IoU > thr_hi
+    (center/dims/z/h averaged directly, yaw via sin/cos). Returns
+    (merged_boxes [K, 7], merged_scores, keep_mask)."""
+    fn = boxes_iou_bev if use_rotate_nms else nearest_iou
+    iou = _pairwise_chunked(fn, boxes, chunk)
+    keep = _greedy_suppress(iou, valid, thr_lo)
+    member = (iou > thr_hi) & valid[None, :]
+    member = member | jnp.eye(iou.shape[0], dtype=bool)
+    w = member * jnp.maximum(scores, 1e-6)[None, :]
+    wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
+    lin = jnp.concatenate(
+        [boxes[:, :6], jnp.sin(boxes[:, 6:7]), jnp.cos(boxes[:, 6:7])], -1
+    )
+    merged = (w @ lin) / wsum
+    yaw = jnp.arctan2(merged[:, 6], merged[:, 7])
+    out = jnp.concatenate([merged[:, :6], yaw[:, None]], -1)
+    out = jnp.where(keep[:, None], out, boxes[:, :7])
+    return out, scores, keep
+
+
 def topk_presort(scores, valid, k: int):
     """Top-k indices by score among valid rows (padding scores → -inf)."""
     s = jnp.where(valid, scores, -jnp.inf)

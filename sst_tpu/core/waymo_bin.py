@@ -83,9 +83,10 @@ def lidar_to_waymo_heading(yaw: float) -> float:
 
 
 def encode_object(box7, score: float, class_name: str, context_name: str,
-                  timestamp_micros: int) -> bytes:
+                  timestamp_micros: int, obj_id: str | None = None) -> bytes:
     """One metrics_pb2.Object from a LiDAR 7-dof box
-    [x, y, z_bottom, w, l, h, yaw]."""
+    [x, y, z_bottom, w, l, h, yaw]. obj_id populates Label.id (field 4) for
+    tracking bins."""
     x, y, z, w, l, h, yaw = (float(v) for v in box7[:7])
     box = (
         _double(1, x) + _double(2, y) + _double(3, z + h / 2)
@@ -93,6 +94,8 @@ def encode_object(box7, score: float, class_name: str, context_name: str,
         + _double(7, lidar_to_waymo_heading(yaw))
     )
     label = _bytes(1, box) + _int64(3, K2W_CLS_MAP.get(class_name, TYPE_UNKNOWN))
+    if obj_id:
+        label += _bytes(4, obj_id.encode())
     obj = (
         _bytes(1, label)
         + _float(2, score)
@@ -137,12 +140,14 @@ def write_waymo_bin(path: str, frames, class_names=("Car", "Pedestrian", "Cyclis
     with open(path, "wb") as f:
         for fr in frames:
             boxes = np.asarray(fr["boxes"], np.float64)
+            ids = fr.get("obj_ids")
             for i in range(len(boxes)):
                 f.write(
                     encode_object(
                         boxes[i], float(fr["scores"][i]),
                         class_names[int(fr["labels"][i])],
                         fr["context_name"], int(fr["timestamp_micros"]),
+                        obj_id=ids[i] if ids is not None else None,
                     )
                 )
     return path
@@ -205,6 +210,8 @@ def read_waymo_bin(path: str):
                         obj["box"] = box
                     elif f3 == 3:
                         obj["type"] = v3
+                    elif f3 == 4 and w3 == 2:  # Label.id
+                        obj["id"] = v3.decode()
             elif f2 == 2:
                 obj["score"] = v2
             elif f2 == 4:

@@ -57,6 +57,7 @@ class DynamicVoxelNet(nn.Module):
     backbone: dict = struct.field(default_factory=dict)
     neck: dict = struct.field(default_factory=dict)
     head: dict = struct.field(default_factory=dict)
+    head_type: str = "anchor"  # 'anchor' (Anchor3DHead) | 'center' (CenterHead)
     shuffle_voxels: bool = True
     test_cfg: dict = struct.field(
         default_factory=lambda: dict(
@@ -80,7 +81,15 @@ class DynamicVoxelNet(nn.Module):
         bb.update(self.backbone)
         self.backbone_mod = SSTv2(dtype=self.dtype, **bb)
         self.neck_mod = SECONDFPN(dtype=self.dtype, **self.neck)
-        self.head_mod = Anchor3DHead(dtype=self.dtype, **self.head)
+        if self.head_type == "center":
+            from sst_tpu.models.heads.center_head import CenterHead
+
+            self.head_mod = CenterHead(
+                point_cloud_range=self.point_cloud_range,
+                voxel_size=self.voxel_size, dtype=self.dtype, **self.head,
+            )
+        else:
+            self.head_mod = Anchor3DHead(dtype=self.dtype, **self.head)
 
     def extract_feat(self, batch: PointBatch, train: bool):
         b, p, _ = batch.points.shape
@@ -115,6 +124,10 @@ class DynamicVoxelNet(nn.Module):
 
     def loss(self, batch: PointBatch, train: bool = True):
         preds = self(batch, train)
+        if self.head_type == "center":
+            return self.head_mod.loss(
+                preds, batch.gt_boxes, batch.gt_labels, batch.gt_valid
+            )
         h, w = preds["cls"].shape[1:3]
         anchors = self.head_mod.grid_anchors((h, w))
         return self.head_mod.loss(
@@ -123,6 +136,8 @@ class DynamicVoxelNet(nn.Module):
 
     def predict(self, batch: PointBatch):
         preds = self(batch, train=False)
+        if self.head_type == "center":
+            return self.head_mod.get_bboxes(preds, **self.test_cfg)
         h, w = preds["cls"].shape[1:3]
         anchors = self.head_mod.grid_anchors((h, w))
         return self.head_mod.get_bboxes(preds, anchors, **self.test_cfg)
