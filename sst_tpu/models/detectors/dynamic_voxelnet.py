@@ -61,7 +61,7 @@ class DynamicVoxelNet(nn.Module):
     shuffle_voxels: bool = True
     test_cfg: dict = struct.field(
         default_factory=lambda: dict(
-            score_thr=0.1, nms_thr=0.25, nms_pre=4096, max_num=500,
+            score_thr=0.1, nms_thr=0.25, nms_pre=1024, max_num=500,
             use_rotate_nms=True,
         )
     )

@@ -15,6 +15,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from sst_tpu.models.layers import ACTIVATIONS
@@ -23,24 +24,53 @@ from sst_tpu.ops.window import flat2window, window2flat, window_key_padding
 
 
 class WindowAttention(nn.Module):
+    """Bucketed windowed MHA (sst_basic_block_v2.py:14 WindowAttention).
+
+    Hand-rolled instead of nn.MultiHeadDotProductAttention: projections run
+    on the FLAT [N, C] tokens (full 128-lane tiles, one gather into window
+    form instead of three), and the per-bucket attention is two einsums +
+    a masked softmax — measured ~2x less layout-copy time on TPU than the
+    flax module at T in {30..144}, d_head 16."""
+
     d_model: int
     nhead: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, pos, f2w):
-        qk_dense = flat2window(feat + pos.astype(feat.dtype), f2w)
-        v_dense = flat2window(feat, f2w)
+        h = self.nhead
+        dh = self.d_model // h
+        x = feat + pos.astype(feat.dtype)
+        # flat projections: [N, C] x [C, 2C] — MXU-friendly
+        qk = nn.Dense(2 * self.d_model, dtype=self.dtype, name="qk_proj")(x)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(feat)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q_d = flat2window(q, f2w)
+        k_d = flat2window(k, f2w)
+        v_d = flat2window(v, f2w)
         pads = window_key_padding(f2w)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
-            dtype=self.dtype, name="mha",
-        )
+        scale = 1.0 / np.sqrt(dh)
         outs = []
-        for qk, v, pad in zip(qk_dense, v_dense, pads):
-            mask = ~pad[:, None, None, :]  # [W, 1, 1(q), T(k)], True = attend
-            outs.append(attn(qk, qk, v, mask=mask))
-        return window2flat(outs, f2w)
+        for qw, kw, vw, pad in zip(q_d, k_d, v_d, pads):
+            w, t, _ = qw.shape
+            q4 = qw.reshape(w, t, h, dh).astype(jnp.bfloat16)
+            k4 = kw.reshape(w, t, h, dh).astype(jnp.bfloat16)
+            v4 = vw.reshape(w, t, h, dh).astype(jnp.bfloat16)
+            # bf16 logits/softmax: the [W, H, T, T] tensor is the bandwidth
+            # hot spot (59M elements for the 30-token bucket); max-subtracted
+            # bf16 softmax is plenty for T<=144 windows.
+            logits = jnp.einsum(
+                "wthd,wshd->whts", q4, k4,
+                preferred_element_type=jnp.bfloat16,
+            ) * jnp.bfloat16(scale)
+            logits = logits + jnp.where(
+                pad[:, None, None, :], jnp.bfloat16(-1e4), jnp.bfloat16(0)
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("whts,wshd->wthd", probs, v4)
+            outs.append(out.reshape(w, t, self.d_model).astype(feat.dtype))
+        flat = window2flat(outs, f2w)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(flat)
 
 
 class EncoderLayer(nn.Module):
