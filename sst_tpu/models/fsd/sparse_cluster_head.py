@@ -60,7 +60,9 @@ class SparseClusterHeadV2(nn.Module):
     focal_alpha: float = 0.25
     norm: str = "ln"
     act: str = "relu"
-    code_size: int = 8  # center 3 + logdim 3 + sincos 2
+    code_size: int = 8  # center 3 + logdim 3 + sincos 2 (+2 with velocity)
+    with_vel: bool = False  # nuScenes velocity branch (code_size 10)
+    loss_vel_weight: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,14 +76,17 @@ class SparseClusterHeadV2(nn.Module):
             attrs = tuple(self.common_attrs) + (
                 ("score", len(names), self.num_cls_layer, self.cls_hidden_dim),
             )
+            if self.with_vel:
+                attrs = attrs + (("vel", 2, 2, self.cls_hidden_dim),)
             ret = FSDSeparateHead(
                 attrs=attrs, norm=self.norm, act=self.act, dtype=self.dtype,
                 name=f"task_{t}",
             )(x, valid, train)
             cls_logits.append(ret["score"])
-            reg_preds.append(
-                jnp.concatenate([ret["center"], ret["dim"], ret["rot"]], axis=-1)
-            )
+            reg = [ret["center"], ret["dim"], ret["rot"]]
+            if self.with_vel:
+                reg.append(ret["vel"])
+            reg_preds.append(jnp.concatenate(reg, axis=-1))
         return {"cls_logits": cls_logits, "reg_preds": reg_preds}
 
     # ------------------------------------------------------------------ loss
@@ -148,12 +153,19 @@ class SparseClusterHeadV2(nn.Module):
         loss_center = L.l1_loss(reg_preds[:, :3], targets[:, :3], pw, num_pos) * self.loss_center_weight
         loss_size = L.l1_loss(reg_preds[:, 3:6], targets[:, 3:6], pw, num_pos) * self.loss_size_weight
         loss_rot = L.l1_loss(reg_preds[:, 6:8], targets[:, 6:8], pw, num_pos) * self.loss_rot_weight
-        return {
+        out = {
             f"loss_cls.task{task_id}": loss_cls,
             f"loss_center.task{task_id}": loss_center,
             f"loss_size.task{task_id}": loss_size,
             f"loss_rot.task{task_id}": loss_rot,
         }
+        if self.with_vel:
+            vel_t = matched[:, 7:9] if matched.shape[-1] >= 9 else \
+                jnp.zeros_like(reg_preds[:, 8:10])
+            out[f"loss_vel.task{task_id}"] = L.l1_loss(
+                reg_preds[:, 8:10], vel_t, pw, num_pos
+            ) * self.loss_vel_weight
+        return out
 
     # ------------------------------------------------------------- inference
 
@@ -166,7 +178,7 @@ class SparseClusterHeadV2(nn.Module):
             ids = self._task_class_ids(t)
             scores = jax.nn.sigmoid(outs["cls_logits"][t])
             boxes = base_point_decode(cluster_xyz, outs["reg_preds"][t],
-                                      self.bbox_coder_scale)
+                                      self.bbox_coder_scale)  # vel-aware
             all_boxes.append(boxes)
             # expand task scores to global class columns
             full = jnp.zeros((scores.shape[0], self.num_classes), scores.dtype)
