@@ -100,11 +100,18 @@ class RandomFlip3D:
 
 @PIPELINES.register
 class PointsRangeFilter:
-    def __init__(self, point_cloud_range):
+    def __init__(self, point_cloud_range, use_native: bool = True):
         self.pcr = np.asarray(point_cloud_range, np.float32)
+        self.use_native = use_native
 
     def __call__(self, sample):
         p = sample["points"]
+        if self.use_native:
+            from sst_tpu.data import native
+
+            if native.available():
+                sample["points"] = native.range_filter(p, self.pcr)
+                return sample
         m = (
             (p[:, 0] >= self.pcr[0]) & (p[:, 0] < self.pcr[3])
             & (p[:, 1] >= self.pcr[1]) & (p[:, 1] < self.pcr[4])
@@ -152,14 +159,21 @@ class PadToCap:
 
     def __call__(self, sample):
         p = sample["points"]
-        n = min(len(p), self.max_points)
-        if len(p) > self.max_points:
-            # keep a uniform subsample rather than a prefix
-            rng = sample.get("rng", np.random)
-            idx = rng.choice(len(p), self.max_points, replace=False)
-            p = p[idx]
-        out_p = np.zeros((self.max_points, p.shape[1]), np.float32)
-        out_p[:n] = p[:n]
+        from sst_tpu.data import native
+
+        if native.available():
+            rng = sample.get("rng")
+            seed = int(rng.randint(1 << 31)) if rng is not None else 0
+            out_p, n = native.shuffle_pad(p, self.max_points, seed)
+        else:
+            n = min(len(p), self.max_points)
+            if len(p) > self.max_points:
+                # keep a uniform subsample rather than a prefix
+                rng = sample.get("rng", np.random)
+                idx = rng.choice(len(p), self.max_points, replace=False)
+                p = p[idx]
+            out_p = np.zeros((self.max_points, p.shape[1]), np.float32)
+            out_p[:n] = p[:n]
         valid = np.zeros(self.max_points, bool)
         valid[:n] = True
         sample["points"] = out_p
