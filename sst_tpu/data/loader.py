@@ -17,10 +17,53 @@ import numpy as np
 from sst_tpu.data.datasets import collate_to_batch
 
 
+def weak_shuffle_indices(seq_ids: np.ndarray, shard_size: int, seed: int,
+                         epoch: int) -> np.ndarray:
+    """Sequence-shard-aware shuffle (reference DistributedSampler weak_shuffle,
+    apis/samplers.py:35-100 get_seq_shard_indices): indices are grouped into
+    contiguous shards of one sequence each (capped at shard_size), shard
+    ORDER is shuffled but intra-shard time order is preserved — FSD++/CTRL
+    need temporally ordered neighbors while still mixing sequences."""
+    seq_ids = np.asarray(seq_ids)
+    n = len(seq_ids)
+    shards = []
+    start = 0
+    for i in range(1, n + 1):
+        boundary = i == n or seq_ids[i] != seq_ids[start]
+        if boundary or (i - start) >= shard_size:
+            shards.append(np.arange(start, i))
+            start = i
+    rng = np.random.RandomState(seed + epoch)
+    order = rng.permutation(len(shards))
+    return np.concatenate([shards[o] for o in order])
+
+
+def sequential_lane_indices(seq_ids: np.ndarray, num_lanes: int) -> list:
+    """Whole sequences per lane in time order
+    (WaymoSequentialDistributedSampler, build_dataloader_sequential.py:15-60):
+    returns per-lane index lists; lane l at step t processes its own
+    sequences strictly in temporal order (FSD++ sequential testing)."""
+    seq_ids = np.asarray(seq_ids)
+    uniq = []
+    for s in seq_ids:
+        if not uniq or uniq[-1] != s:
+            uniq.append(s)
+    lanes: list = [[] for _ in range(num_lanes)]
+    sizes = [0] * num_lanes
+    for s in uniq:
+        idx = np.nonzero(seq_ids == s)[0]
+        l = int(np.argmin(sizes))
+        lanes[l].extend(idx.tolist())
+        sizes[l] += len(idx)
+    return lanes
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 2, seed: int = 0, drop_last: bool = True,
-                 collate: Callable = collate_to_batch):
+                 collate: Callable = collate_to_batch,
+                 weak_shuffle_seq_ids: Sequence | None = None,
+                 weak_shuffle_shard_size: int = 20):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,13 +71,21 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.collate = collate
+        self.weak_shuffle_seq_ids = weak_shuffle_seq_ids
+        self.weak_shuffle_shard_size = weak_shuffle_shard_size
         self.epoch = 0
 
     def _indices(self):
         n = len(self.dataset)
-        idx = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.weak_shuffle_seq_ids is not None and self.shuffle:
+            idx = weak_shuffle_indices(
+                self.weak_shuffle_seq_ids, self.weak_shuffle_shard_size,
+                self.seed, self.epoch,
+            )
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         if self.drop_last:
             idx = idx[: (n // self.batch_size) * self.batch_size]
         return idx

@@ -63,6 +63,9 @@ class SparseClusterHeadV2(nn.Module):
     code_size: int = 8  # center 3 + logdim 3 + sincos 2 (+2 with velocity)
     with_vel: bool = False  # nuScenes velocity branch (code_size 10)
     loss_vel_weight: float = 0.2
+    with_iou: bool = False  # IoU-score branch (sparse_cluster_head.py:339)
+    loss_iou_weight: float = 1.0
+    iou_score_weight: float = 0.5  # test-time rectification exponent `a`
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,13 +74,15 @@ class SparseClusterHeadV2(nn.Module):
         if self.shared_mlp_dims:
             x = MLP(tuple(self.shared_mlp_dims), act=self.act, norm=self.norm,
                     dtype=self.dtype, name="shared_mlp")(x, valid, train)
-        cls_logits, reg_preds = [], []
+        cls_logits, reg_preds, out_iou = [], [], []
         for t, names in enumerate(self.tasks):
             attrs = tuple(self.common_attrs) + (
                 ("score", len(names), self.num_cls_layer, self.cls_hidden_dim),
             )
             if self.with_vel:
                 attrs = attrs + (("vel", 2, 2, self.cls_hidden_dim),)
+            if self.with_iou:
+                attrs = attrs + (("iou", 1, 2, self.cls_hidden_dim),)
             ret = FSDSeparateHead(
                 attrs=attrs, norm=self.norm, act=self.act, dtype=self.dtype,
                 name=f"task_{t}",
@@ -87,7 +92,12 @@ class SparseClusterHeadV2(nn.Module):
             if self.with_vel:
                 reg.append(ret["vel"])
             reg_preds.append(jnp.concatenate(reg, axis=-1))
-        return {"cls_logits": cls_logits, "reg_preds": reg_preds}
+            if self.with_iou:
+                out_iou.append(ret["iou"][:, 0])
+        out = {"cls_logits": cls_logits, "reg_preds": reg_preds}
+        if self.with_iou:
+            out["iou_logits"] = out_iou
+        return out
 
     # ------------------------------------------------------------------ loss
 
@@ -104,13 +114,14 @@ class SparseClusterHeadV2(nn.Module):
                     t, outs["cls_logits"][t], outs["reg_preds"][t],
                     cluster_xyz, cluster_batch, cluster_valid,
                     gt_boxes, gt_labels, gt_valid,
+                    outs.get("iou_logits", [None] * len(self.tasks))[t],
                 )
             )
         return losses
 
     def _loss_single_task(self, task_id, cls_logits, reg_preds, cluster_xyz,
                           cluster_batch, cluster_valid, gt_boxes, gt_labels,
-                          gt_valid):
+                          gt_valid, iou_logits=None):
         ids = self._task_class_ids(task_id)
         num_task_classes = len(ids)
         # remap gt labels into task-local ids; drop other classes
@@ -165,6 +176,22 @@ class SparseClusterHeadV2(nn.Module):
             out[f"loss_vel.task{task_id}"] = L.l1_loss(
                 reg_preds[:, 8:10], vel_t, pw, num_pos
             ) * self.loss_vel_weight
+        if self.with_iou and iou_logits is not None:
+            # IoU-score supervision (sparse_cluster_head.py:329-360
+            # get_iou_labels): target = 3D IoU(decoded pred, matched gt) for
+            # positives, 0 for negatives; L1 on the raw logit.
+            from sst_tpu.core.iou import boxes_iou_3d
+
+            decoded = jax.lax.stop_gradient(
+                base_point_decode(cluster_xyz, reg_preds, self.bbox_coder_scale)
+            )
+            pair_iou = jax.vmap(
+                lambda d, g: boxes_iou_3d(d[None, :7], g[None, :7])[0, 0]
+            )(decoded, matched)
+            iou_t = jnp.where(is_pos, pair_iou, 0.0)
+            out[f"loss_iou.task{task_id}"] = L.l1_loss(
+                iou_logits, iou_t, weight=w, avg_factor=num_total
+            ) * self.loss_iou_weight
         return out
 
     # ------------------------------------------------------------- inference
@@ -177,6 +204,12 @@ class SparseClusterHeadV2(nn.Module):
         for t, names in enumerate(self.tasks):
             ids = self._task_class_ids(t)
             scores = jax.nn.sigmoid(outs["cls_logits"][t])
+            if self.with_iou and "iou_logits" in outs:
+                # score rectification (sparse_cluster_head.py get_bboxes:
+                # s = cls^(1-a) * iou^a)
+                a = self.iou_score_weight
+                iou_s = jax.nn.sigmoid(outs["iou_logits"][t])[:, None]
+                scores = scores ** (1 - a) * jnp.clip(iou_s, 1e-4) ** a
             boxes = base_point_decode(cluster_xyz, outs["reg_preds"][t],
                                       self.bbox_coder_scale)  # vel-aware
             all_boxes.append(boxes)

@@ -34,12 +34,19 @@ class WindowAttention(nn.Module):
 
     d_model: int
     nhead: int
+    cosine: bool = False  # Swin-v2 cosine attention (cosine_msa.py:449)
+    tau_min: float = 0.01
+    non_shared_tau: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, pos, f2w):
         h = self.nhead
         dh = self.d_model // h
+        if self.cosine:
+            n_tau = h if self.non_shared_tau else 1
+            tau = self.param("tau", nn.initializers.ones, (n_tau,), jnp.float32)
+            tau = jnp.maximum(jnp.repeat(tau, h // n_tau), self.tau_min)
         x = feat + pos.astype(feat.dtype)
         # flat projections: [N, C] x [C, 2C] — MXU-friendly
         qk = nn.Dense(2 * self.d_model, dtype=self.dtype, name="qk_proj")(x)
@@ -59,10 +66,21 @@ class WindowAttention(nn.Module):
             # bf16 logits/softmax: the [W, H, T, T] tensor is the bandwidth
             # hot spot (59M elements for the 30-token bucket); max-subtracted
             # bf16 softmax is plenty for T<=144 windows.
+            if self.cosine:
+                q4 = q4 / jnp.maximum(
+                    jnp.linalg.norm(q4.astype(jnp.float32), axis=-1,
+                                    keepdims=True), 1e-6).astype(q4.dtype)
+                k4 = k4 / jnp.maximum(
+                    jnp.linalg.norm(k4.astype(jnp.float32), axis=-1,
+                                    keepdims=True), 1e-6).astype(k4.dtype)
             logits = jnp.einsum(
                 "wthd,wshd->whts", q4, k4,
                 preferred_element_type=jnp.bfloat16,
-            ) * jnp.bfloat16(scale)
+            )
+            if self.cosine:
+                logits = logits / tau[None, :, None, None].astype(logits.dtype)
+            else:
+                logits = logits * jnp.bfloat16(scale)
             logits = logits + jnp.where(
                 pad[:, None, None, :], jnp.bfloat16(-1e4), jnp.bfloat16(0)
             )
@@ -81,20 +99,21 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     activation: str = "gelu"
     post_norm: bool = True
+    cosine: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, f2w):
         act = ACTIVATIONS[self.activation]
         if self.post_norm:
-            src2 = WindowAttention(self.d_model, self.nhead, self.dtype)(src, pos, f2w)
+            src2 = WindowAttention(self.d_model, self.nhead, self.cosine, dtype=self.dtype)(src, pos, f2w)
             src = nn.LayerNorm(dtype=self.dtype)(src + src2)
             src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
             src2 = nn.Dense(self.d_model, dtype=self.dtype)(act(src2))
             src = nn.LayerNorm(dtype=self.dtype)(src + src2)
         else:
             src2 = nn.LayerNorm(dtype=self.dtype)(src)
-            src2 = WindowAttention(self.d_model, self.nhead, self.dtype)(src2, pos, f2w)
+            src2 = WindowAttention(self.d_model, self.nhead, self.cosine, dtype=self.dtype)(src2, pos, f2w)
             src = src + src2
             src2 = nn.LayerNorm(dtype=self.dtype)(src)
             src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src2)
@@ -109,6 +128,7 @@ class BasicShiftBlock(nn.Module):
     nhead: int
     dim_feedforward: int
     activation: str = "gelu"
+    cosine: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,7 +136,8 @@ class BasicShiftBlock(nn.Module):
         for i in range(2):
             src = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.activation, dtype=self.dtype, name=f"encoder_{i}",
+                self.activation, cosine=self.cosine, dtype=self.dtype,
+                name=f"encoder_{i}",
             )(src, plan.pos[i], plan.f2w[i])
         return src
 
@@ -154,6 +175,7 @@ class SSTv2(nn.Module):
     in_channel: int | None = None
     to_bev: bool = True
     conv_shortcut: bool = False
+    cosine: bool = False  # Swin-v2 cosine attention in every block
     remat_blocks: bool = True  # jax.checkpoint each block (HBM for FLOPs)
     dtype: jnp.dtype = jnp.float32
 
@@ -167,7 +189,8 @@ class SSTv2(nn.Module):
         for i in range(self.num_blocks):
             x = block_cls(
                 self.d_model[i], self.nhead[i], self.dim_feedforward[i],
-                self.activation, dtype=self.dtype, name=f"block_{i}",
+                self.activation, cosine=self.cosine, dtype=self.dtype,
+                name=f"block_{i}",
             )(x, plan)
 
         valid = plan.valid
