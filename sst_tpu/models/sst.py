@@ -57,9 +57,19 @@ class WindowAttention(nn.Module):
         v_d = flat2window(v, f2w)
         pads = window_key_padding(f2w)
         scale = 1.0 / np.sqrt(dh)
+        # fused Pallas kernel on TPU (keeps logits/softmax/AV in VMEM;
+        # 2-4x faster than the einsum path); cosine mode + CPU use einsum.
+        use_pallas = (not self.cosine) and jax.default_backend() == "tpu"
         outs = []
         for qw, kw, vw, pad in zip(q_d, k_d, v_d, pads):
             w, t, _ = qw.shape
+            if use_pallas:
+                from sst_tpu.ops.pallas_attention import window_mha
+
+                outs.append(
+                    window_mha(qw, kw, vw, pad, h).astype(feat.dtype)
+                )
+                continue
             q4 = qw.reshape(w, t, h, dh).astype(jnp.bfloat16)
             k4 = kw.reshape(w, t, h, dh).astype(jnp.bfloat16)
             v4 = vw.reshape(w, t, h, dh).astype(jnp.bfloat16)
