@@ -177,6 +177,11 @@ class TrackletRoIHead(nn.Module):
         )
         gts = batch.gt_boxes.reshape(b * f, 7)
         gv = batch.gt_valid.reshape(-1) & roi_valid
+        # sanitize padded slots: zero-dim boxes make delta_encode's log NaN,
+        # which poisons the masked loss (0 * nan = nan)
+        unit = jnp.asarray([0, 0, 0, 1, 1, 1, 0], jnp.float32)
+        rois = jnp.where(roi_valid[:, None], rois, unit[None])
+        gts = jnp.where(gv[:, None], gts, rois)
         iou = jax.vmap(
             lambda r, g: boxes_iou_3d(r[None, :7], g[None, :7])[0, 0]
         )(rois, gts)

@@ -245,6 +245,10 @@ class GroupCorrectionHead(nn.Module):
 
         gt_flat = gt_boxes.reshape(-1, gt_boxes.shape[-1])
         matched = gt_flat[jnp.maximum(argmax, 0)]
+        # zero-dim padded gt rows would NaN delta_encode's log (0 * nan = nan
+        # through the masked loss); substitute a unit box for non-positives
+        unit = jnp.zeros((matched.shape[-1],), jnp.float32).at[3:6].set(1.0)
+        matched = jnp.where(is_pos[:, None], matched, unit[None])
         ct = canonical_gt(proposals[:, :7], matched[:, :7])
         anchors = proposals[:, :7].at[:, :3].set(0.0).at[:, 6].set(0.0)
         targets = delta_encode(anchors, ct)
