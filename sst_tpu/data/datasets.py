@@ -407,14 +407,17 @@ class SyntheticDataset:
 
 
 def collate_to_batch(samples: list[dict]):
-    """Stack padded samples into a PointBatch (device-ready numpy)."""
+    """Stack padded samples into a PointBatch of HOST numpy arrays.
+
+    Device transfer happens on the main thread (train/step.py shard_batch):
+    device_put from loader worker threads can deadlock the CPU backend's
+    collective rendezvous under a forced multi-device mesh."""
     from sst_tpu.models.detectors.dynamic_voxelnet import PointBatch
-    import jax.numpy as jnp
 
     return PointBatch(
-        points=jnp.asarray(np.stack([s["points"] for s in samples])),
-        valid=jnp.asarray(np.stack([s["points_valid"] for s in samples])),
-        gt_boxes=jnp.asarray(np.stack([s["gt_boxes"] for s in samples])),
-        gt_labels=jnp.asarray(np.stack([s["gt_labels"] for s in samples])),
-        gt_valid=jnp.asarray(np.stack([s["gt_valid"] for s in samples])),
+        points=np.stack([s["points"] for s in samples]),
+        valid=np.stack([s["points_valid"] for s in samples]),
+        gt_boxes=np.stack([s["gt_boxes"] for s in samples]),
+        gt_labels=np.stack([s["gt_labels"] for s in samples]),
+        gt_valid=np.stack([s["gt_valid"] for s in samples]),
     )

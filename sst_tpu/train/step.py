@@ -34,15 +34,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(put, batch)
 
 
-def train_step(model, state: TrainState, batch, rng) -> tuple[TrainState, dict]:
-    """One optimizer step. Call under jit; works on 1..N devices."""
+def train_step(model, state: TrainState, batch, rng,
+               loss_kwargs: dict | None = None) -> tuple[TrainState, dict]:
+    """One optimizer step. Call under jit; works on 1..N devices.
+    loss_kwargs: static per-phase args (e.g. FSDDetectionSchedule's
+    pretrain/thr_extra) forwarded to model.loss."""
 
     def loss_fn(params):
         out, mut = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch, train=True, method=model.loss,
-            rngs={"shuffle": rng},
+            rngs={"shuffle": rng, "seeds": rng},
             mutable=["batch_stats"],
+            **(loss_kwargs or {}),
         )
         total = sum(v for k, v in out.items() if k.startswith("loss"))
         return total, (out, mut["batch_stats"])
@@ -62,9 +66,12 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_jitted_train_step(model, mesh: Mesh | None = None):
-    """jit the train step with replicated state and data-sharded batch."""
-    step = functools.partial(train_step, model)
+def make_jitted_train_step(model, mesh: Mesh | None = None,
+                           loss_kwargs: dict | None = None):
+    """jit the train step with replicated state and data-sharded batch.
+    One compiled variant per distinct loss_kwargs (the FSD schedules quantize
+    thr_extra so the variant count stays small)."""
+    step = functools.partial(train_step, model, loss_kwargs=loss_kwargs)
     if mesh is None:
         return jax.jit(step)
     replicated = NamedSharding(mesh, P())

@@ -132,7 +132,28 @@ def main():
         state = restored
 
     mesh = make_data_mesh()
-    step_fn = make_jitted_train_step(model, mesh)
+    # FSD warmup/threshold-buffer schedule (fsd_hooks.py equivalent): one
+    # compiled step variant per distinct (pretrain, thr_extra) pair.
+    sched = None
+    if "fsd_detection_schedule" in cfg:
+        from sst_tpu.train.schedules import FSDDetectionSchedule
+
+        sched = FSDDetectionSchedule(**cfg["fsd_detection_schedule"])
+    step_fns: dict = {}
+
+    import inspect
+
+    loss_params = set(inspect.signature(model.loss).parameters)
+
+    def get_step_fn(s):
+        kw = sched(s) if sched is not None else {}
+        kw = {k: v for k, v in kw.items() if k in loss_params}
+        key = tuple(sorted(kw.items()))
+        if key not in step_fns:
+            step_fns[key] = make_jitted_train_step(model, mesh,
+                                                   loss_kwargs=kw or None)
+        return step_fns[key]
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
 
     step = int(state.step)
@@ -143,7 +164,8 @@ def main():
                 if step >= total_steps:
                     break
                 sb = shard_batch(batch, mesh)
-                state, metrics = step_fn(state, sb, jax.random.PRNGKey(step))
+                state, metrics = get_step_fn(step)(
+                    state, sb, jax.random.PRNGKey(step))
                 step += 1
                 if step % args.log_interval == 0 or step == 1:
                     m = {k: float(v) for k, v in metrics.items()}
