@@ -13,16 +13,21 @@ model = dict(
     virtual_voxel_size=(0.4, 0.4, 0.4),
     num_classes=10,
     class_names=class_names,
-    score_thresh=(0.2,) * 10,
+    # batched_group_sample (single_stage_fsd_v2.py:790): 6 groups, per-group
+    # thresholds; the segmentor carries a background column (11 logits).
+    group_names=(("car",), ("truck", "construction_vehicle"),
+                 ("bus", "trailer"), ("barrier",),
+                 ("motorcycle", "bicycle"), ("pedestrian", "traffic_cone")),
+    score_thresh=(0.2,) * 6,
     caps=dict(
-        fg_per_class=(4096,) * 10,
+        fg_per_class=(4096,) * 6,
         voxels=65536,
         union_voxels=81920,
         virtual_out=16384,
     ),
     segmentor=dict(
         voxel_size=(0.2, 0.2, 0.2),
-        head=dict(num_classes=10, hidden_dims=(128, 128)),
+        head=dict(num_classes=11, hidden_dims=(128, 128)),
     ),
     head=dict(
         tasks=(("car",), ("truck", "construction_vehicle"), ("bus", "trailer"),

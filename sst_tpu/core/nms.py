@@ -19,17 +19,31 @@ import jax.numpy as jnp
 from sst_tpu.core.iou import boxes_iou_bev, nearest_iou
 
 
-def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
-    """Row-sweep greedy NMS over a score-descending set. Returns keep mask."""
-    k = iou.shape[0]
+def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float,
+                     unroll: int = 8) -> jax.Array:
+    """Row-sweep greedy NMS over a score-descending set. Returns keep mask.
 
-    def body(i, keep):
+    The sweep is inherently sequential; unrolling `unroll` rows per
+    fori_loop iteration amortizes the TPU loop-step overhead (~6 us/iter),
+    which dominates at K ~ 1024."""
+    k = iou.shape[0]
+    later = jnp.arange(k)
+
+    def step(i, keep):
         alive = keep[i] & valid[i]
-        later = jnp.arange(k) > i
-        sup = alive & later & (iou[i] > thr)
+        sup = alive & (later > i) & (iou[i] > thr)
         return keep & ~sup
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    def body(bi, keep):
+        for u in range(unroll):
+            keep = step(bi * unroll + u, keep)
+        return keep
+
+    main = (k // unroll) * unroll
+    keep = jax.lax.fori_loop(0, k // unroll, body, valid)
+    for i in range(main, k):  # static remainder
+        keep = step(i, keep)
+    return keep
 
 
 def _pairwise_chunked(fn, boxes, chunk: int):
@@ -126,7 +140,9 @@ def topk_presort(scores, valid, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_classes", "nms_pre", "max_num", "use_rotate_nms")
+    jax.jit,
+    static_argnames=("num_classes", "nms_pre", "max_num", "use_rotate_nms",
+                     "use_wnms"),
 )
 def box3d_multiclass_nms(
     boxes,
@@ -138,6 +154,9 @@ def box3d_multiclass_nms(
     nms_pre: int,
     max_num: int,
     use_rotate_nms: bool = True,
+    use_wnms: bool = False,
+    wnms_thr_lo: float = 0.1,
+    wnms_thr_hi: float = 0.7,
 ):
     """Per-class NMS (box3d_nms.py:10) with static output size.
 
@@ -155,7 +174,17 @@ def box3d_multiclass_nms(
         idx, sel_valid = topk_presort(s, ok, min(nms_pre, boxes.shape[0]))
         cand_boxes = boxes[idx]
         cand_scores = s[idx]
-        keep = nms_bev(cand_boxes, cand_scores, sel_valid, nms_thr, use_rotate_nms)
+        if use_wnms:
+            # weighted NMS (box3d_multiclass_wnms, box3d_nms.py:145)
+            cand7, _, keep = weighted_nms_bev(
+                cand_boxes[:, :7], cand_scores, sel_valid,
+                thr_lo=wnms_thr_lo, thr_hi=wnms_thr_hi,
+                use_rotate_nms=use_rotate_nms,
+            )
+            cand_boxes = jnp.concatenate([cand7, cand_boxes[:, 7:]], axis=-1)
+        else:
+            keep = nms_bev(cand_boxes, cand_scores, sel_valid, nms_thr,
+                           use_rotate_nms)
         out_boxes.append(cand_boxes)
         out_scores.append(jnp.where(keep, cand_scores, -jnp.inf))
         out_labels.append(jnp.full_like(idx, cls))

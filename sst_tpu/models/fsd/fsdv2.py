@@ -65,6 +65,10 @@ class SingleStageFSDV2(nn.Module):
     num_classes: int = 3
     class_names: tuple = ("Car", "Pedestrian", "Cyclist")
     score_thresh: tuple = (0.3, 0.25, 0.25)
+    # batched_group_sample (nuScenes): when set, the segmentor must output
+    # num_classes+1 logits (background column) and score_thresh is per GROUP.
+    group_names: tuple | None = None
+    group_offset_scale: float = 1.0
     offset_normalizer: float = 10.0  # single_stage_fsd_v2.py:175 "hardcode"
     proj_hidden: tuple = (64, 64)
     # multiscale fusion: indices into the segmentor UNet decoder feature list
@@ -154,16 +158,59 @@ class SingleStageFSDV2(nn.Module):
             "batch_idx": data["batch_idx"][idx],
         }
 
+    def sample_group(self, data: dict, gi: int, thr_extra: float = 0.0,
+                     pretrain: bool = False):
+        """batched_group_sample (single_stage_fsd_v2.py:790-860, nuScenes):
+        the seg head carries a background column (num_classes + 1 softmax);
+        a group's fg score is the sum of its member-class probabilities and
+        its vote offset is the logit-argmax member's offset ('max' offset
+        weighting, :836-841)."""
+        names = self.group_names[gi]
+        ids = [self.class_names.index(n) for n in names]
+        cap = self.caps.fg_per_class[min(gi, len(self.caps.fg_per_class) - 1)]
+        probs = jax.nn.softmax(data["seg_logits"], axis=-1)  # incl. background
+        gscore = probs[:, jnp.asarray(ids)].sum(axis=-1)
+        if pretrain:
+            fg = data["valid"]
+        else:
+            fg = data["valid"] & (gscore > self.score_thresh[gi] + thr_extra)
+        idx, sel_valid = topk_compact(gscore, fg, cap)
+        pts = data["seg_points"][idx]
+        member_logits = data["seg_logits"][idx][:, jnp.asarray(ids)]
+        w = jax.nn.one_hot(member_logits.argmax(-1), len(ids))
+        offs = data["offsets"][idx].reshape(
+            idx.shape[0], -1, 3)[:, jnp.asarray(ids)]
+        offset = (offs * w[..., None]).sum(axis=1) * self.group_offset_scale
+        centers = self._clip(pts[:, :3] + offset)
+        proj_in = jnp.concatenate(
+            [data["seg_feats"][idx],
+             (centers - pts[:, :3]) / self.offset_normalizer,
+             data["seg_logits"][idx], pts[:, 3:]], axis=-1,
+        )
+        return {
+            "valid": sel_valid,
+            "centers": centers,
+            "proj_in": proj_in,
+            "batch_idx": data["batch_idx"][idx],
+        }
+
     # ----------------------------------------------------------- feature path
 
     def extract_feat(self, data: dict, batch_size: int, train: bool,
                      thr_extra: float = 0.0, pretrain: bool = False):
         caps = self.caps
-        # --- virtual points (vote-shifted centers), per class
-        samples = [
-            self.sample_class(data, c, thr_extra, pretrain)
-            for c in range(self.num_classes)
-        ]
+        # --- virtual points (vote-shifted centers), per class (or per group
+        # with the nuScenes batched_group_sample recipe)
+        if self.group_names is not None:
+            samples = [
+                self.sample_group(data, g, thr_extra, pretrain)
+                for g in range(len(self.group_names))
+            ]
+        else:
+            samples = [
+                self.sample_class(data, c, thr_extra, pretrain)
+                for c in range(self.num_classes)
+            ]
         vir_xyz = jnp.concatenate([s["centers"] for s in samples])
         vir_in = jnp.concatenate([s["proj_in"] for s in samples])
         vir_valid = jnp.concatenate([s["valid"] for s in samples])

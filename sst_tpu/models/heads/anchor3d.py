@@ -185,7 +185,8 @@ class Anchor3DHead(nn.Module):
     # -------------------------------------------------------------- inference
 
     def get_bboxes(self, preds, anchors_by_cls, score_thr=0.1, nms_thr=0.25,
-                   nms_pre=4096, max_num=500, use_rotate_nms=True):
+                   nms_pre=4096, max_num=500, use_rotate_nms=True,
+                   use_wnms=False, wnms_thr_lo=0.1, wnms_thr_hi=0.7):
         """Decode + per-class NMS per sample (anchor3d_head.py:381)."""
         b, h, w, a, k = preds["cls"].shape
         m = h * w * self.num_rot
@@ -209,6 +210,8 @@ class Anchor3DHead(nn.Module):
                 boxes, scores_all, valid, num_classes=self.num_classes,
                 score_thr=score_thr, nms_thr=nms_thr, nms_pre=nms_pre,
                 max_num=max_num, use_rotate_nms=use_rotate_nms,
+                use_wnms=use_wnms, wnms_thr_lo=wnms_thr_lo,
+                wnms_thr_hi=wnms_thr_hi,
             )
 
         if self.use_direction_classifier:

@@ -119,3 +119,21 @@ def test_weighted_nms():
     assert 0.0 < m[0, 0] < 0.2
     # isolated box unchanged
     np.testing.assert_allclose(m[2], np.asarray(boxes)[2], atol=1e-5)
+
+
+def test_multiclass_wnms_path():
+    from sst_tpu.core.nms import box3d_multiclass_nms
+
+    rng = np.random.RandomState(0)
+    n = 64
+    boxes = jnp.asarray(np.concatenate(
+        [rng.uniform(-30, 30, (n, 2)), rng.uniform(-1, 0, (n, 1)),
+         rng.uniform(1.5, 4, (n, 3)), rng.uniform(-3, 3, (n, 1))], 1
+    ).astype(np.float32))
+    scores = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    out = box3d_multiclass_nms(
+        boxes, scores, jnp.ones(n, bool), num_classes=3, score_thr=0.05,
+        nms_thr=0.25, nms_pre=32, max_num=16, use_wnms=True,
+    )
+    assert out["boxes"].shape == (16, 7)
+    assert np.isfinite(np.asarray(out["boxes"])).all()

@@ -161,3 +161,27 @@ def test_fsdv2_two_stage_predict(fsdv2_ts_setup):
     out = model.apply(variables, batch, method=model.predict)
     assert out["boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_fsdv2_batched_group_sample():
+    """nuScenes-style group sampling: background softmax column + grouped
+    thresholds (single_stage_fsd_v2.py:790)."""
+    base = tiny_fsdv2()
+    model = base.clone(
+        group_names=(("Car",), ("Pedestrian", "Cyclist")),
+        score_thresh=(0.05, 0.05),
+        segmentor={**base.segmentor,
+                   "head": dict(num_classes=4, hidden_dims=(32, 32))},
+    )
+    rng = np.random.RandomState(6)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        batch, train=True, method=model.loss, mutable=["batch_stats"],
+    )
+    total = sum(float(v) for k, v in out.items() if k.startswith("loss"))
+    assert np.isfinite(total), {k: float(v) for k, v in out.items()}
+    pred = model.apply(variables, batch, method=model.predict)
+    assert np.isfinite(np.asarray(pred["boxes"])).all()
