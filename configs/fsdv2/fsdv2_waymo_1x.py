@@ -10,8 +10,8 @@ model = dict(
     score_thresh=(0.3, 0.25, 0.25),
     caps=dict(
         fg_per_class=(8192, 4096, 4096),
-        voxels=65536,
-        union_voxels=81920,
+        voxels=81920,
+        union_voxels=98304,
         virtual_out=16384,
     ),
     multiscale_levels=(0, 1),

@@ -150,3 +150,51 @@ def eval_ap(
         results[cname] = float(ap)
     results["mAP"] = float(np.mean([results[c] for c in classes]))
     return results
+
+
+def eval_ap_breakdowns(
+    predictions: list[dict],
+    ground_truths: list[dict],
+    classes: list[str],
+    range_breakdowns=((0.0, 30.0), (30.0, 50.0), (50.0, 1e9)),
+    **kwargs,
+):
+    """Waymo-style range-bucketed AP (the metric binary's RANGE breakdowns,
+    waymo_dataset.py:416-470 table) + an L2-proxy split: gts with fewer than
+    5 interior points are the reference's LEVEL_2 bucket when point counts
+    are available in ground_truths[i]['num_points'].
+
+    Filters BOTH predictions and gts by BEV range per bucket, then runs the
+    standard protocol. Returns {"OVERALL": {...}, "0-30m": {...}, ...}.
+    """
+
+    def _filter(frames, lo, hi, is_pred):
+        out = []
+        for fr in frames:
+            r = np.linalg.norm(fr["boxes"][:, :2], axis=1) if len(fr["boxes"]) \
+                else np.zeros(0)
+            m = (r >= lo) & (r < hi)
+            f = {"boxes": fr["boxes"][m], "labels": fr["labels"][m]}
+            if is_pred:
+                f["scores"] = fr["scores"][m]
+            out.append(f)
+        return out
+
+    results = {"OVERALL": eval_ap(predictions, ground_truths, classes,
+                                  **kwargs)}
+    for lo, hi in range_breakdowns:
+        name = f"{int(lo)}-{int(hi)}m" if hi < 1e8 else f"{int(lo)}m+"
+        results[name] = eval_ap(
+            _filter(predictions, lo, hi, True),
+            _filter(ground_truths, lo, hi, False),
+            classes, **kwargs,
+        )
+    if all("num_points" in gt for gt in ground_truths):
+        hard = [
+            {"boxes": gt["boxes"][gt["num_points"] < 5],
+             "labels": gt["labels"][gt["num_points"] < 5]}
+            for gt in ground_truths
+        ]
+        results["L2_proxy_hard"] = eval_ap(predictions, hard, classes,
+                                           **kwargs)
+    return results

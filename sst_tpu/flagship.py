@@ -73,8 +73,8 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False):
         score_thresh=(0.3, 0.25, 0.25),
         caps=FSDV2Caps(
             fg_per_class=(8192, 4096, 4096),
-            voxels=65536,
-            union_voxels=81920,
+            voxels=81920,
+            union_voxels=98304,
             virtual_out=16384,
         ),
         multiscale_levels=(0, 1),
@@ -168,17 +168,38 @@ def tiny_fsdv2_flagship(grid: int = 16):
 
 def synthetic_waymo_batch(batch_size: int = 1, num_points: int = 196608, seed: int = 0,
                           num_extra_feats: int = 0, pcr_half: float = 74.8):
-    """A Waymo-like synthetic frame (plausible density distribution)."""
+    """A Waymo-like synthetic frame: radial density falloff + surface
+    structure (ground plane + clustered verticals), so voxel occupancy
+    matches real lidar (~60-90k voxels at 0.25 m for ~190k points) rather
+    than one-point-per-voxel uniform noise."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
     p = num_points
-    # radial density falloff like a spinning lidar
-    r = np.abs(rng.randn(batch_size, p)) * 25 + rng.rand(batch_size, p) * 45
-    th = rng.uniform(-np.pi, np.pi, (batch_size, p))
-    x = (r * np.cos(th)).astype(np.float32)
-    y = (r * np.sin(th)).astype(np.float32)
-    z = rng.uniform(-1.5, 3.0, (batch_size, p)).astype(np.float32)
+    # ground returns lie on scan rings (64 beams x dense azimuth): adjacent
+    # azimuth steps land in the same 0.25 m voxel near the sensor, giving the
+    # ~2 points/voxel concentration of real spinning lidar.
+    n_beams = 64
+    beam = rng.randint(0, n_beams, (batch_size, p))
+    elev = -np.radians(1.0 + 17.0 * (beam + 0.5) / n_beams)  # -1 .. -18 deg
+    ring_r = np.clip(2.1 / np.tan(-elev), 0.0, 78.0)
+    az = rng.uniform(-np.pi, np.pi, (batch_size, p))
+    rr = ring_r * (1 + rng.randn(batch_size, p) * 0.01)
+    x = (rr * np.cos(az)).astype(np.float32)
+    y = (rr * np.sin(az)).astype(np.float32)
+    z_ground = (rng.randn(batch_size, p) * 0.05 - 0.8).astype(np.float32)
+    # 30% of returns hit vertical structures clustered in xy
+    is_ground = rng.rand(batch_size, p) < 0.7
+    n_struct = 1024
+    cx = rng.uniform(-pcr_half, pcr_half, (batch_size, n_struct))
+    cy = rng.uniform(-pcr_half, pcr_half, (batch_size, n_struct))
+    which = rng.randint(0, n_struct, (batch_size, p))
+    xs = np.take_along_axis(cx, which, 1) + rng.randn(batch_size, p) * 0.6
+    ys = np.take_along_axis(cy, which, 1) + rng.randn(batch_size, p) * 0.6
+    z_struct = rng.uniform(-1.0, 3.0, (batch_size, p)).astype(np.float32)
+    x = np.where(is_ground, x, xs.astype(np.float32))
+    y = np.where(is_ground, y, ys.astype(np.float32))
+    z = np.where(is_ground, z_ground, z_struct).astype(np.float32)
     pts = np.stack([x, y, z], -1)
     if num_extra_feats:
         pts = np.concatenate(

@@ -111,3 +111,29 @@ def test_rotated_iou_matrix_matches_jax(rng):
     ref = np.asarray(boxes_iou_3d(jnp.asarray(boxes_a), jnp.asarray(boxes_b)))
     got = rotated_iou_matrix(boxes_a, boxes_b, "3d")
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_eval_ap_breakdowns():
+    import numpy as np
+
+    from sst_tpu.core.evaluation import eval_ap_breakdowns
+
+    rng = np.random.RandomState(0)
+    gts, preds = [], []
+    for _ in range(3):
+        near = np.concatenate([rng.uniform(-20, 20, (4, 2)),
+                               np.full((4, 1), -0.5), np.tile([[2, 4, 1.6]], (4, 1)),
+                               rng.uniform(-3, 3, (4, 1))], 1).astype(np.float32)
+        far = near.copy()
+        far[:, 0] += 45.0
+        boxes = np.concatenate([near, far])
+        labels = np.zeros(8, np.int32)
+        gts.append(dict(boxes=boxes, labels=labels,
+                        num_points=np.array([50, 50, 2, 2, 50, 2, 50, 2])))
+        # perfect predictions for near only
+        preds.append(dict(boxes=near.copy(), labels=np.zeros(4, np.int32),
+                          scores=np.ones(4, np.float32)))
+    out = eval_ap_breakdowns(preds, gts, ["Car"])
+    assert set(out) >= {"OVERALL", "0-30m", "30-50m", "50m+", "L2_proxy_hard"}
+    assert out["0-30m"]["Car"] > 0.9      # near gts all found
+    assert out["OVERALL"]["Car"] < 0.7    # far gts missed
