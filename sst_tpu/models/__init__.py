@@ -18,11 +18,11 @@ from sst_tpu.models.heads.center_head import CenterHead
 from sst_tpu.models.second import SECOND, SECONDFPN
 from sst_tpu.models.sst import SSTv2
 from sst_tpu.models.sst_input import SSTPlan, sst_input_layer
-from sst_tpu.models.vfe import DynamicVFE
+from sst_tpu.models.vfe import DynamicVFE, HardSimpleVFE, PillarFeatureNet
 from sst_tpu.utils.registry import MODELS
 
 for _cls in (DynamicVoxelNet, Anchor3DHead, CenterHead, SECOND, SECONDFPN,
-             SSTv2, DynamicVFE, FSD, FSDV2, SingleStageFSD, SingleStageFSDV2,
-             TwoStageFSDPP, VoteSegmentor, TrackletDetector, TrackletSegmentor,
-             TrackletRoIHead):
+             SSTv2, DynamicVFE, HardSimpleVFE, PillarFeatureNet, FSD, FSDV2,
+             SingleStageFSD, SingleStageFSDV2, TwoStageFSDPP, VoteSegmentor,
+             TrackletDetector, TrackletSegmentor, TrackletRoIHead):
     MODELS.register(_cls)

@@ -54,6 +54,59 @@ class DynamicVFELayer(nn.Module):
         return nn.relu(x)
 
 
+class HardSimpleVFE(nn.Module):
+    """Mean of in-voxel points (voxel_encoder.py:19) over hard-voxelized
+    [V, T, C] tensors."""
+
+    @nn.compact
+    def __call__(self, voxels, num_points):
+        t = voxels.shape[1]
+        mask = jnp.arange(t)[None, :] < num_points[:, None]
+        s = jnp.sum(voxels * mask[..., None], axis=1)
+        return s / jnp.maximum(num_points, 1)[:, None]
+
+
+class PillarFeatureNet(nn.Module):
+    """PointPillars PFN over hard voxels (pillar_encoder.py:12): per-point
+    decorations (cluster offset, pillar-center offset, range) → PFN layers
+    (linear+BN+relu, max-pool over the pillar, broadcast-concat)."""
+
+    feat_channels: Sequence[int] = (64,)
+    with_distance: bool = False
+    voxel_size: tuple = (0.32, 0.32, 6.0)
+    point_cloud_range: tuple = (-74.88, -74.88, -2, 74.88, 74.88, 4)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords, train: bool = False):
+        v, t, c = voxels.shape
+        mask = (jnp.arange(t)[None, :] < num_points[:, None])[..., None]
+        xyz = voxels[..., :3]
+        mean = jnp.sum(xyz * mask, axis=1) / jnp.maximum(num_points, 1)[:, None]
+        cluster = (xyz - mean[:, None]) * mask
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        centers = (coords[:, jnp.array([3, 2, 1])].astype(jnp.float32) + 0.5) * vs + pcr
+        center_off = (xyz - centers[:, None]) * mask
+        feats = [voxels, cluster, center_off]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True) * mask)
+        x = jnp.concatenate(feats, axis=-1).astype(self.dtype)
+        for i, ch in enumerate(self.feat_channels):
+            x = nn.Dense(ch, use_bias=False, dtype=self.dtype,
+                         name=f"pfn_{i}")(x)
+            x = MaskedBatchNorm(dtype=self.dtype, name=f"pfn_bn_{i}")(
+                x.reshape(v * t, ch), mask.reshape(v * t), train
+            ).reshape(v, t, ch)
+            x = nn.relu(x) * mask
+            pooled = x.max(axis=1)
+            if i != len(self.feat_channels) - 1:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(pooled[:, None], x.shape)], axis=-1
+                ) * mask
+        return pooled
+
+
 class DynamicVFE(nn.Module):
     """Point→voxel encoder. Returns voxel features [V, C_out]."""
 

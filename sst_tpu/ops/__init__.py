@@ -12,8 +12,16 @@ from sst_tpu.ops.voxelize import (
     delinearize_key,
     dynamic_voxelize,
     grid_shape_zyx,
+    hard_voxelize,
     linearize_coords,
 )
+from sst_tpu.ops.ccl import compact_labels, connected_components, topk_compact
+from sst_tpu.ops.incremental import (
+    box_frame_transform,
+    delta_points_mask,
+    points_frame_transform,
+)
+from sst_tpu.ops.pallas_attention import window_mha
 from sst_tpu.ops.window import (
     BucketSpec,
     FlatToWindow,

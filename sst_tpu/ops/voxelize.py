@@ -112,6 +112,44 @@ def delinearize_key(keys: jax.Array, grid: tuple, valid: jax.Array) -> jax.Array
 
 @functools.partial(
     jax.jit,
+    static_argnames=("point_cloud_range", "voxel_size", "max_voxels",
+                     "max_points_per_voxel", "batch_size"),
+)
+def hard_voxelize(
+    points: jax.Array,
+    batch_idx: jax.Array,
+    points_valid: jax.Array,
+    point_cloud_range: tuple,
+    voxel_size: tuple,
+    max_voxels: int,
+    max_points_per_voxel: int,
+    batch_size: int,
+):
+    """Hard voxelization (fixed per-voxel point capacity, reference
+    ops/voxel/src/voxelization_cuda.cu:110 hard mode): returns
+    (voxels [V, T, C], num_points [V], coords [V, 4], voxel_valid [V]).
+
+    TPU formulation: the dynamic mapping's per-voxel rank (one sort) IS the
+    slot index; points beyond the cap are dropped exactly like the CUDA
+    kernel's first-come capacity rule (ordering differs only by the stable
+    sort vs atomic race, which the reference does not define either)."""
+    vm = dynamic_voxelize(points, batch_idx, points_valid, point_cloud_range,
+                          voxel_size, max_voxels, batch_size)
+    t = max_points_per_voxel
+    seg = vm.unique.seg_ids
+    rank = vm.unique.ranks
+    keep = vm.valid & (rank < t) & (seg < max_voxels)
+    slot = jnp.where(keep, seg * t + rank, max_voxels * t)
+    c = points.shape[-1]
+    voxels = jnp.zeros((max_voxels * t + 1, c), points.dtype).at[slot].set(
+        jnp.where(keep[:, None], points, 0.0), mode="drop"
+    )[:-1].reshape(max_voxels, t, c)
+    num_points = jnp.minimum(vm.unique.counts, t)
+    return voxels, num_points, vm.voxel_coords, vm.voxel_valid
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("point_cloud_range", "voxel_size", "max_voxels", "batch_size"),
 )
 def dynamic_voxelize(

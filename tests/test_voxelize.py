@@ -54,3 +54,49 @@ def test_points_out_of_range_dropped():
     assert not bool(vm.valid[0])
     assert bool(vm.valid[1])
     assert int(vm.unique.num_unique) == 1
+
+
+def test_hard_voxelize_and_hard_vfes():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sst_tpu.models.vfe import HardSimpleVFE, PillarFeatureNet
+    from sst_tpu.ops.voxelize import hard_voxelize
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-7, 7, (512, 4)).astype(np.float32))
+    bidx = jnp.zeros(512, jnp.int32)
+    valid = jnp.ones(512, bool)
+    pcr = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
+    # z range clamp so points are in range
+    pts = pts.at[:, 2].set(jnp.clip(pts[:, 2], -1.9, 3.9))
+    voxels, num_points, coords, vvalid = hard_voxelize(
+        pts, bidx, valid, pcr, (1.0, 1.0, 6.0), 256, 8, 1
+    )
+    assert voxels.shape == (256, 8, 4)
+    total = int(num_points.sum())
+    assert 0 < total <= 512
+    # every stored point is a real input point
+    stored = np.asarray(voxels).reshape(-1, 4)
+    stored = stored[np.abs(stored).sum(1) > 0]
+    pset = {tuple(np.round(r, 4)) for r in np.asarray(pts)}
+    assert all(tuple(np.round(r, 4)) in pset for r in stored[:50])
+
+    vfe = HardSimpleVFE()
+    mean_feats = vfe.apply(vfe.init(jax.random.PRNGKey(0), voxels, num_points),
+                           voxels, num_points)
+    assert mean_feats.shape == (256, 4)
+    # check mean correctness for the fullest voxel
+    i = int(np.argmax(np.asarray(num_points)))
+    n = int(num_points[i])
+    np.testing.assert_allclose(
+        np.asarray(mean_feats[i]),
+        np.asarray(voxels[i, :n]).mean(0), rtol=1e-5, atol=1e-5)
+
+    pfn = PillarFeatureNet(feat_channels=(16,), voxel_size=(1.0, 1.0, 6.0),
+                           point_cloud_range=pcr)
+    variables = pfn.init(jax.random.PRNGKey(0), voxels, num_points, coords)
+    out = pfn.apply(variables, voxels, num_points, coords)
+    assert out.shape == (256, 16)
+    assert np.isfinite(np.asarray(out)).all()
