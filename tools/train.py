@@ -154,12 +154,28 @@ def main():
                                                    loss_kwargs=kw or None)
         return step_fns[key]
 
+    # DisableAugmentationHook equivalent: strip aug transforms from the
+    # dataset pipeline when the boundary step is crossed (fsd_hooks.py:6;
+    # the loader re-reads dataset.pipeline each epoch, replacing the
+    # reference's dataloader-restart hack).
+    aug_sched = None
+    if "disable_aug_schedule" in cfg and not args.synthetic:
+        from sst_tpu.train.schedules import DisableAugmentationSchedule
+
+        aug_sched = DisableAugmentationSchedule(**cfg["disable_aug_schedule"])
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
 
     step = int(state.step)
     t0 = time.time()
     with mesh, open(log_path, "a") as logf:
         while step < total_steps:
+            if aug_sched is not None and step >= aug_sched.disable_after_step:
+                dataset.pipeline = build_pipeline(
+                    aug_sched.filter_pipeline(
+                        data_cfg.get("train_pipeline", []), step)
+                )
+                aug_sched = None  # applied once
             for batch in loader:
                 if step >= total_steps:
                     break
