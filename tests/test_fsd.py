@@ -206,3 +206,17 @@ def test_fsd_two_stage_predict(fsd2_setup):
     assert np.isfinite(np.asarray(out["boxes"])).all()
     out_rpn = model.apply(variables, batch, method=model.predict, skip_rcnn=True)
     assert out_rpn["boxes"].shape[0] == 2
+
+
+def test_fsd_two_stage_no_valid_gt(fsd2_setup):
+    """All-invalid gt must not NaN any loss (zero-dim padded boxes guard)."""
+    import jax
+
+    model, variables, batch = fsd2_setup
+    empty = batch.replace(gt_valid=jnp.zeros_like(batch.gt_valid))
+    out, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        empty, train=True, method=model.loss, mutable=["batch_stats"],
+    )
+    for k, v in out.items():
+        assert np.isfinite(float(v)), (k, float(v))
