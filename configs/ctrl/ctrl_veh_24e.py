@@ -36,6 +36,15 @@ model = dict(
 )
 
 capacity = dict(max_points=32768, max_frames=200)
-data = dict(dataset="waymo_tracklet", samples_per_device=2)
+# tools/ctrl/generate_track_input.py + extract_poses.py + generate_candidates.py
+# produce the pkl inputs; override paths with --cfg-options.
+data = dict(
+    dataset="waymo_tracklet", samples_per_device=2,
+    data_root="data/waymo/kitti_format/training",
+    tracklet_path="data/ctrl/tracklets.pkl",
+    poses_path="data/ctrl/poses.pkl",
+    frame_index_path="data/ctrl/frame_index.pkl",
+    candidates_path="data/ctrl/candidates.pkl",
+)
 optimizer = dict(base_lr=1e-4, weight_decay=0.01, clip_norm=10.0)
 schedule = dict(max_epochs=24)

@@ -25,8 +25,14 @@ model = dict(
     ),
 )
 
-capacity = dict(max_points=262144)  # multi-frame concat needs headroom
+capacity = dict(max_points=262144,  # multi-frame concat needs headroom
+                max_seeds=256, max_gt=128)
+# seeds_path from tools/fsdpp/generate_seeds.py; data_root/info_path from
+# tools/create_data.py waymo; override with --cfg-options.
 data = dict(dataset="waymo", load_interval=1, samples_per_device=1,
-            sequential=True, num_previous_frames=6)
+            sequential=True, num_previous_frames=6,
+            data_root="data/waymo/kitti_format",
+            info_path="data/waymo/kitti_format/waymo_infos_train.pkl",
+            seeds_path="data/fsdpp/seed_boxes.pkl")
 optimizer = dict(base_lr=1e-5, weight_decay=0.05, clip_norm=10.0)
 schedule = dict(max_epochs=24)

@@ -113,13 +113,15 @@ def rotate_boxes(boxes, angle):
 
 def flip_boxes(boxes, axis: str = "x"):
     """BEV flip: 'x' = flip y coords (horizontal), 'y' = flip x (vertical),
-    matching LiDARInstance3DBoxes.flip."""
+    matching LiDARInstance3DBoxes.flip (lidar_box3d.py:209-216). With the
+    v0.15 heading unit vector (sin yaw, cos yaw), a y-flip negates cos →
+    yaw' = -yaw + pi; an x-flip negates sin → yaw' = -yaw."""
     if axis == "x":
-        out = boxes.at[:, 1].mul(-1.0).at[:, 6].mul(-1.0)
+        out = boxes.at[:, 1].mul(-1.0).at[:, 6].set(-boxes[:, 6] + np.pi)
         if boxes.shape[1] > 7:
             out = out.at[:, 8].mul(-1.0)
     else:
-        out = boxes.at[:, 0].mul(-1.0).at[:, 6].set(-boxes[:, 6] + np.pi)
+        out = boxes.at[:, 0].mul(-1.0).at[:, 6].mul(-1.0)
         if boxes.shape[1] > 7:
             out = out.at[:, 7].mul(-1.0)
     return out

@@ -117,9 +117,12 @@ def write_waymo_bin(path: str, frames, class_names=("Car", "Pedestrian", "Cyclis
 
         objects = metrics_pb2.Objects()
         for fr in frames:
+            ids = fr.get("obj_ids")
             for i in range(len(fr["boxes"])):
                 b = np.asarray(fr["boxes"][i], np.float64)
                 o = objects.objects.add()
+                if ids is not None and ids[i]:
+                    o.object.id = str(ids[i])
                 o.object.box.center_x = b[0]
                 o.object.box.center_y = b[1]
                 o.object.box.center_z = b[2] + b[5] / 2

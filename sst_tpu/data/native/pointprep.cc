@@ -79,8 +79,9 @@ void pp_global_rot_scale_trans(float* pts, int64_t n, int64_t c, float* boxes,
   }
 }
 
-// BEV flip: axis 0 = horizontal (y *= -1, yaw *= -1), 1 = vertical
-// (x *= -1, yaw = -yaw + pi).
+// BEV flip: axis 0 = horizontal (y *= -1, yaw = -yaw + pi), 1 = vertical
+// (x *= -1, yaw = -yaw) — lidar_box3d.flip with the v0.15 (sin, cos)
+// heading unit vector.
 void pp_flip(float* pts, int64_t n, int64_t c, float* boxes, int64_t g,
              int64_t bdim, int axis) {
   const int col = axis == 0 ? 1 : 0;
@@ -88,7 +89,7 @@ void pp_flip(float* pts, int64_t n, int64_t c, float* boxes, int64_t g,
   for (int64_t i = 0; i < g; ++i) {
     float* b = boxes + i * bdim;
     b[col] = -b[col];
-    b[6] = axis == 0 ? -b[6] : -b[6] + (float)M_PI;
+    b[6] = axis == 0 ? -b[6] + (float)M_PI : -b[6];
     if (bdim > 8) b[7 + col] = -b[7 + col];
   }
 }

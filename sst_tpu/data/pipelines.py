@@ -81,18 +81,18 @@ class RandomFlip3D:
     def __call__(self, sample):
         rng: np.random.RandomState = sample["rng"]
         boxes = sample.get("gt_boxes")
-        if rng.rand() < self.ratio_h:  # flip y
+        if rng.rand() < self.ratio_h:  # flip y (lidar_box3d.flip horizontal)
             sample["points"][:, 1] *= -1
             if boxes is not None and len(boxes):
                 boxes[:, 1] *= -1
-                boxes[:, 6] *= -1
+                boxes[:, 6] = -boxes[:, 6] + np.pi
                 if boxes.shape[1] > 7:
                     boxes[:, 8] *= -1
-        if rng.rand() < self.ratio_v:  # flip x
+        if rng.rand() < self.ratio_v:  # flip x (lidar_box3d.flip vertical)
             sample["points"][:, 0] *= -1
             if boxes is not None and len(boxes):
                 boxes[:, 0] *= -1
-                boxes[:, 6] = -boxes[:, 6] + np.pi
+                boxes[:, 6] *= -1
                 if boxes.shape[1] > 7:
                     boxes[:, 7] *= -1
         return sample

@@ -72,9 +72,51 @@ def test_flip_matches_pipeline():
     p_c, b_c = native.flip(pts.copy(), boxes.copy(), axis=0)
     np.testing.assert_allclose(p_c[:, 1], -pts[:, 1])
     np.testing.assert_allclose(b_c[:, 1], -boxes[:, 1])
-    np.testing.assert_allclose(b_c[:, 6], -boxes[:, 6])
+    np.testing.assert_allclose(b_c[:, 6], -boxes[:, 6] + np.pi, atol=1e-6)
     p_v, b_v = native.flip(pts.copy(), boxes.copy(), axis=1)
-    np.testing.assert_allclose(b_v[:, 6], -boxes[:, 6] + np.pi, atol=1e-6)
+    np.testing.assert_allclose(b_v[:, 6], -boxes[:, 6], atol=1e-6)
+
+
+def test_flip_heading_consistency():
+    """Flip yaw rule must agree with mirroring the v0.15 heading unit vector
+    (sin yaw, cos yaw) — the convention box_frame_transform uses. Reference:
+    lidar_box3d.flip (horizontal: yaw=-yaw+pi; vertical: yaw=-yaw)."""
+    import jax.numpy as jnp
+
+    from sst_tpu.core.boxes import flip_boxes
+    from sst_tpu.ops.incremental import box_frame_transform
+
+    rng = np.random.RandomState(11)
+    boxes = np.concatenate(
+        [rng.uniform(-5, 5, (16, 6)), rng.uniform(-np.pi, np.pi, (16, 1))], 1
+    ).astype(np.float32)
+
+    for axis, diag in (("x", [1.0, -1.0, 1.0]), ("y", [-1.0, 1.0, 1.0])):
+        mirror = np.eye(4, dtype=np.float32)
+        mirror[0, 0], mirror[1, 1], mirror[2, 2] = diag
+        want = np.asarray(
+            box_frame_transform(jnp.asarray(boxes), jnp.asarray(mirror),
+                                jnp.eye(4, dtype=np.float32))
+        )
+        got = np.asarray(flip_boxes(jnp.asarray(boxes), axis=axis))
+        np.testing.assert_allclose(got[:, :3], want[:, :3], atol=1e-5)
+        dyaw = np.abs(np.angle(np.exp(1j * (got[:, 6] - want[:, 6]))))
+        assert dyaw.max() < 1e-5, f"axis={axis} yaw mismatch {dyaw.max()}"
+
+    # RandomFlip3D must apply the same rule
+    from sst_tpu.data.pipelines import RandomFlip3D
+
+    for ratio_h, ratio_v, axis in ((1.0, 0.0, "x"), (0.0, 1.0, "y")):
+        tf = RandomFlip3D(flip_ratio_bev_horizontal=ratio_h,
+                          flip_ratio_bev_vertical=ratio_v)
+        sample = {
+            "rng": np.random.RandomState(0),
+            "points": rng.randn(10, 4).astype(np.float32),
+            "gt_boxes": boxes.copy(),
+        }
+        out = tf(sample)["gt_boxes"]
+        want = np.asarray(flip_boxes(jnp.asarray(boxes), axis=axis))
+        np.testing.assert_allclose(out, want, atol=1e-5)
 
 
 def test_shuffle_pad():

@@ -46,9 +46,8 @@ def main():
     import numpy as np
 
     import sst_tpu.models  # noqa: F401 (register)
-    from sst_tpu.data.datasets import SyntheticDataset, WaymoDataset
     from sst_tpu.data.loader import DataLoader
-    from sst_tpu.data.pipelines import PadToCap, build_pipeline
+    from sst_tpu.data.pipelines import build_pipeline
     from sst_tpu.train import (
         create_train_state,
         make_data_mesh,
@@ -72,38 +71,17 @@ def main():
     model = build_model_from_cfg(cfg, train=True)
 
     data_cfg = cfg.get("data", {})
-    cap = cfg.get("capacity", {})
-    max_points = cap.get("max_points", 65536)
     batch_size = data_cfg.get("samples_per_device", 1) * jax.local_device_count()
 
-    if args.synthetic or data_cfg.get("dataset") == "synthetic":
-        dataset = SyntheticDataset(
-            num_samples=max(batch_size * 8, 64),
-            num_points=min(max_points, 32768),
-            pc_range=model.point_cloud_range,
-            pipeline=build_pipeline([
-                dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
-                dict(type="PadToCap", max_points=max_points),
-            ]),
-        )
-    else:
-        dataset = WaymoDataset(
-            data_root=data_cfg["data_root"],
-            info_path=data_cfg["info_path"],
-            load_interval=data_cfg.get("load_interval", 1),
-            pipeline=build_pipeline(
-                data_cfg.get("train_pipeline", [
-                    dict(type="RandomFlip3D"),
-                    dict(type="GlobalRotScaleTrans"),
-                    dict(type="PointsRangeFilter", point_cloud_range=model.point_cloud_range),
-                    dict(type="ObjectRangeFilter", point_cloud_range=model.point_cloud_range),
-                    dict(type="PointShuffle"),
-                    dict(type="PadToCap", max_points=max_points),
-                ])
-            ),
-        )
+    from sst_tpu.train.data_setup import build_train_dataset
 
-    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed)
+    dataset, collate, ds_kind, train_pipeline_cfg = build_train_dataset(
+        cfg, model, synthetic=args.synthetic, seed=args.seed,
+        batch_size=batch_size,
+    )
+    loader_kw = {} if collate is None else {"collate": collate}
+    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed,
+                        **loader_kw)
     total_steps = args.max_steps or cfg.get("schedule", {}).get("max_steps", 10000)
     opt_cfg = cfg.get("optimizer", {})
     tx = make_optimizer(
@@ -159,7 +137,7 @@ def main():
     # the loader re-reads dataset.pipeline each epoch, replacing the
     # reference's dataloader-restart hack).
     aug_sched = None
-    if "disable_aug_schedule" in cfg and not args.synthetic:
+    if "disable_aug_schedule" in cfg and ds_kind == "waymo":
         from sst_tpu.train.schedules import DisableAugmentationSchedule
 
         aug_sched = DisableAugmentationSchedule(**cfg["disable_aug_schedule"])
@@ -172,8 +150,7 @@ def main():
         while step < total_steps:
             if aug_sched is not None and step >= aug_sched.disable_after_step:
                 dataset.pipeline = build_pipeline(
-                    aug_sched.filter_pipeline(
-                        data_cfg.get("train_pipeline", []), step)
+                    aug_sched.filter_pipeline(train_pipeline_cfg, step)
                 )
                 aug_sched = None  # applied once
             for batch in loader:
