@@ -169,7 +169,7 @@ class WaymoDataset(Custom3DDataset):
                 )
                 out["waymo_stdout"] = proc.stdout
                 return out
-        from sst_tpu.core.evaluation import eval_ap
+        from sst_tpu.core.eval_waymo import waymo_eval
 
         gts = []
         for info in self.infos:
@@ -185,15 +185,52 @@ class WaymoDataset(Custom3DDataset):
             ) if keep.any() else np.zeros((0, 7), np.float32)
             labels = np.asarray(
                 [self.classes.index(n) for n in names[keep]], np.int32)
-            gts.append(dict(boxes=boxes, labels=labels))
+            g = dict(boxes=boxes, labels=labels)
+            if "num_points_in_gt" in annos:
+                g["num_points"] = np.asarray(annos["num_points_in_gt"])[keep]
+            if "difficulty" in annos:
+                g["difficulty"] = np.asarray(annos["difficulty"])[keep]
+            gts.append(g)
         preds = [
             dict(boxes=np.asarray(r["boxes_3d"]),
                  scores=np.asarray(r["scores_3d"]),
                  labels=np.asarray(r["labels_3d"]))
             for r in results
         ]
-        out.update(eval_ap(preds, gts, list(self.classes)))
+        out.update(waymo_eval(preds, gts, tuple(self.classes),
+                              range_breakdowns=metric == "waymo"))
         return out
+
+
+def lidar_to_camera_annos(boxes, scores, labels, classes, rect=None,
+                          Trv2c=None):
+    """LiDAR 7-dof predictions → a KITTI-format anno dict (camera frame),
+    the inverse of camera_to_lidar_boxes; image bbox is filled with a
+    never-size-ignored placeholder (no camera projection in this lidar-only
+    framework)."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, boxes.shape[-1] if
+                                                  len(boxes) else 7)
+    n = len(boxes)
+    if rect is not None and Trv2c is not None and n:
+        hom = np.concatenate(
+            [boxes[:, :3], np.ones((n, 1), np.float32)], axis=1)
+        loc = (hom @ (rect @ Trv2c).T)[:, :3]
+        ry = -boxes[:, 6] - np.pi / 2
+    else:
+        loc = boxes[:, :3] if n else np.zeros((0, 3), np.float32)
+        ry = boxes[:, 6] if n else np.zeros(0, np.float32)
+    dims = boxes[:, [4, 5, 3]] if n else np.zeros((0, 3), np.float32)  # lhw
+    return dict(
+        name=np.asarray([classes[int(l)] for l in labels]),
+        location=loc.astype(np.float32),
+        dimensions=dims.astype(np.float32),
+        rotation_y=np.asarray(ry, np.float32),
+        bbox=np.tile(np.array([[0.0, 0.0, 200.0, 200.0]], np.float32),
+                     (n, 1)),
+        occluded=np.zeros(n, np.int32),
+        truncated=np.zeros(n, np.float32),
+        score=np.asarray(scores, np.float32).reshape(-1),
+    )
 
 
 @DATASETS.register
@@ -205,6 +242,23 @@ class KittiDataset(WaymoDataset):
 
     def __init__(self, *args, load_dim: int = 4, use_dim=(0, 1, 2, 3), **kw):
         super().__init__(*args, load_dim=load_dim, use_dim=use_dim, **kw)
+
+    def evaluate(self, results, metric: str = "kitti", **kw):
+        """Official KITTI easy/moderate/hard R40 protocol
+        (kitti_dataset.py:707 kitti_eval path)."""
+        from sst_tpu.core.eval_kitti import kitti_eval
+
+        empty = dict(name=np.zeros(0, dtype="<U16"))
+        gt_annos = [info.get("annos", empty) for info in self.infos]
+        dt_annos = []
+        for res, info in zip(results, self.infos):
+            calib = info.get("calib", {})
+            dt_annos.append(lidar_to_camera_annos(
+                np.asarray(res["boxes_3d"]), np.asarray(res["scores_3d"]),
+                np.asarray(res["labels_3d"]), self.classes,
+                rect=calib.get("R0_rect"), Trv2c=calib.get("Tr_velo_to_cam"),
+            ))
+        return kitti_eval(gt_annos, dt_annos, tuple(self.classes))
 
 
 @DATASETS.register
@@ -272,6 +326,26 @@ class NuScenesDataset(Custom3DDataset):
                     counts[self.classes.index(n)] += 1
         return counts
 
+    def _gt_frames(self):
+        gts = []
+        for i in range(len(self.infos)):
+            s = self.get_sample(i)
+            gts.append(dict(
+                boxes=s.get("gt_boxes", np.zeros((0, 7), np.float32)),
+                labels=s.get("gt_labels", np.zeros(0, np.int32))))
+        return gts
+
+    def evaluate(self, results, metric: str = "nds", **kw):
+        """nuScenes protocol: center-distance AP at {0.5, 1, 2, 4} m, TP
+        error metrics, NDS composite (nuscenes_dataset.py _evaluate_single
+        equivalent, devkit-free)."""
+        from sst_tpu.core.eval_nuscenes import nusc_eval
+
+        preds = [dict(boxes=np.asarray(r["boxes_3d"]),
+                      scores=np.asarray(r["scores_3d"]),
+                      labels=np.asarray(r["labels_3d"])) for r in results]
+        return nusc_eval(preds, self._gt_frames(), tuple(self.classes))
+
 
 @DATASETS.register
 class Argo2Dataset(NuScenesDataset):
@@ -290,6 +364,29 @@ class Argo2Dataset(NuScenesDataset):
 
     def __init__(self, *args, with_velocity: bool = False, **kw):
         super().__init__(*args, with_velocity=with_velocity, **kw)
+
+    def format_results(self, results, pklfile_prefix: str):
+        """av2-schema feather output (argo2_dataset.py:374-440)."""
+        from sst_tpu.core.eval_argo2 import format_results_feather
+
+        return format_results_feather(results, self.infos,
+                                      tuple(self.classes), pklfile_prefix)
+
+    def evaluate(self, results, metric: str = "cds",
+                 pklfile_prefix: str | None = None, **kw):
+        """av2-protocol CDS eval (argo2_dataset.py:459-520 equivalent,
+        av2-package-free); optionally also writes the feather dump."""
+        from sst_tpu.core.eval_argo2 import argo2_eval
+
+        out = {}
+        if pklfile_prefix is not None:
+            out["feather"] = self.format_results(results, pklfile_prefix)
+        preds = [dict(boxes=np.asarray(r["boxes_3d"]),
+                      scores=np.asarray(r["scores_3d"]),
+                      labels=np.asarray(r["labels_3d"])) for r in results]
+        out.update(argo2_eval(preds, self._gt_frames(),
+                              tuple(self.classes)))
+        return out
 
 
 @DATASETS.register
