@@ -101,6 +101,16 @@ def _parse_kitti_calib(path):
     return calib
 
 
+def convert_waymo(args):
+    from tools.data_converter.waymo_converter import Waymo2KITTI
+
+    conv = Waymo2KITTI(args.load_dir, args.save_dir, prefix=args.prefix,
+                       test_mode=args.test_mode, split=args.split)
+    infos = conv.convert()
+    print(f"converted {len(infos)} frames from {len(conv.paths)} tfrecords "
+          f"→ {args.save_dir}")
+
+
 def create_kitti_infos(args):
     split_file = os.path.join(args.data_root, "ImageSets", f"{args.split}.txt")
     ids = [l.strip() for l in open(split_file) if l.strip()]
@@ -158,6 +168,18 @@ def main():
     k.add_argument("--out-dir", required=True)
     k.add_argument("--split", default="train")
     k.set_defaults(func=create_kitti_infos)
+
+    w = sub.add_parser(
+        "waymo", help="tfrecords → KITTI-format dirs + infos pkl + gt.bin "
+        "(devkit-free; tools/data_converter/waymo_converter.py)")
+    w.add_argument("--load-dir", required=True,
+                   help="directory of *.tfrecord segments")
+    w.add_argument("--save-dir", required=True)
+    w.add_argument("--prefix", type=int, default=0,
+                   help="0 train / 1 val / 2 test (file naming)")
+    w.add_argument("--split", default="train")
+    w.add_argument("--test-mode", action="store_true")
+    w.set_defaults(func=convert_waymo)
 
     args = ap.parse_args()
     args.func(args)
