@@ -46,7 +46,14 @@ def slope_time(f, n1: int = 3, n2: int = 13):
 
 
 def bench_fsdv2(num_points: int = 196608):
-    """Primary metric: FSDv2-Waymo e2e inference (BASELINE.md north star)."""
+    """Primary metric: FSDv2-Waymo e2e inference (BASELINE.md north star).
+
+    Uses the TPU-native dense-BEV flagship build (flagship.fsdv2_waymo
+    default): z-packed dense 2D UNet segmentor + dense mixer — same
+    sampling / virtual-voxel / head pipeline as the reference topology, with
+    the two gather-bound sparse UNets replaced by MXU-native dense convs
+    (models/dense_bev.py). The spconv-topology build remains available via
+    fsdv2_waymo(backbone="sparse")."""
     import jax
 
     from sst_tpu.flagship import fsdv2_waymo, synthetic_waymo_batch
@@ -114,7 +121,7 @@ def main():
                 "vs_baseline": round(fps / ASSUMED_REF_FPS, 3),
                 "p50_latency_ms": round(per_frame * 1e3, 2),
                 "num_points": num_points,
-                "note": "synthetic Waymo-density frame; vs_baseline uses assumed 10 FPS A100 reference",
+                "note": "synthetic Waymo-density frame; dense-BEV TPU-native flagship; vs_baseline uses assumed 10 FPS A100 reference (no in-repo number exists; see BASELINE.md)",
                 **extra,
             }
         )

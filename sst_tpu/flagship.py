@@ -58,10 +58,23 @@ def sst_waymo(max_points: int = 196608, max_voxels: int = 65536,
     )
 
 
-def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False):
+def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False,
+                backbone: str = "dense_bev"):
     """Full-scale FSDv2-Waymo (configs/fsdv2/fsdv2_waymo_1x.py), the
     BASELINE.md flagship: seg voxels 0.25x0.25x0.2 over (-80,80) range,
-    6-stage SimpleSparseUNet, 0.5m virtual voxels, VirtualVoxelMixer."""
+    0.5m virtual voxels.
+
+    backbone="dense_bev" (default): TPU-native z-packed dense 2D UNet
+    segmentor + dense mixer (models/dense_bev.py) — the fast path every
+    FLOP of which lands on the MXU.
+    backbone="sparse": reference-topology spconv-style UNet + sparse mixer.
+    Level caps are sized from measured occupancy of a Waymo-density frame
+    (196k points → 119k/184k/76k/22k/3.2k/0.4k active sites; the stride-2
+    pad-1 downsample DILATES, so level 1 exceeds level 0).
+    """
+    if backbone == "dense_bev":
+        return fsdv2_waymo_dense(max_points=max_points, dtype=dtype,
+                                 as_rpn=as_rpn)
     import jax.numpy as jnp
 
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
@@ -83,7 +96,10 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False):
         segmentor=dict(
             voxel_size=(0.25, 0.25, 0.2),
             max_voxels=131072,
-            unet_level_caps=(131072, 65536, 32768, 16384, 8192, 4096),
+            # measured occupancy (synthetic Waymo-density frame): 119458,
+            # 184049, 76228, 21516, 3175, 400 — the k=3/s=2/p=1 downsample
+            # dilates, so level 1 NEEDS more slots than level 0.
+            unet_level_caps=(131072, 204800, 98304, 32768, 8192, 2048),
             unet_strides=((2, 2, 2),) * 5,
             unet_paddings=((1, 1, 1),) * 5,
             vfe=dict(feat_channels=(64, 64), mode="max"),
@@ -116,6 +132,108 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False):
         test_cfg=dict(score_thr=0.1, nms_thr=0.25, nms_pre=1024, max_num=500,
                       use_rotate_nms=True),
         dtype=dtype,
+    )
+
+
+def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
+                      as_rpn: bool = False):
+    """TPU-native FSDv2-Waymo flagship: dense-BEV segmentor (z packed into
+    channels, 2D UNet at 640² → 80²) + dense z-sliced mixer over the 0.5m
+    virtual grid. Same sampling / virtual-voxel / head pipeline as the sparse
+    build; only the two gather-bound sparse UNets are replaced by MXU-native
+    dense convs (see models/dense_bev.py)."""
+    import jax.numpy as jnp
+
+    from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
+
+    dtype = dtype or jnp.float32
+    return SingleStageFSDV2(
+        point_cloud_range=(-80.0, -80.0, -2.0, 80.0, 80.0, 4.0),
+        virtual_voxel_size=(0.5, 0.5, 0.5),
+        score_thresh=(0.3, 0.25, 0.25),
+        caps=FSDV2Caps(
+            fg_per_class=(8192, 4096, 4096),
+            voxels=81920,
+            union_voxels=81920,  # dense path: union slots == virtual slots
+            virtual_out=16384,
+        ),
+        multiscale_levels=(0, 1),  # decoder maps at 1/4 and 1/2 resolution
+        ms_projector_hiddens=((128,), (128,)),
+        ms_output_dim=128,
+        mixer_type="dense_bev",
+        segmentor=dict(
+            voxel_size=(0.25, 0.25, 0.2),
+            max_voxels=131072,
+            backbone="dense_bev",
+            vfe=dict(feat_channels=(64, 64), mode="max"),
+            unet=dict(
+                encoder_channels=((64, 64), (128, 128), (256, 256),
+                                  (256, 256)),
+                decoder_channels=(256, 128, 128),
+                out_channels=128,
+            ),
+            head=dict(num_classes=3, hidden_dims=(128, 128)),
+        ),
+        vfe=dict(feat_channels=(64, 128), mode="max"),
+        mixer=dict(
+            z_channels=32, output_channels=128,
+            encoder_channels=((128, 128), (128, 128)),
+            decoder_channels=(128,),
+        ),
+        head=dict(
+            in_channel=128,
+            shared_mlp_dims=(256, 256),
+            common_attrs=(("center", 3, 2, 128), ("dim", 3, 2, 128),
+                          ("rot", 2, 2, 128)),
+            num_cls_layer=2,
+            cls_hidden_dim=128,
+        ),
+        as_rpn=as_rpn,
+        test_cfg=dict(score_thr=0.1, nms_thr=0.25, nms_pre=1024, max_num=500,
+                      use_rotate_nms=True),
+        dtype=dtype,
+    )
+
+
+def tiny_fsdv2_dense(grid: int = 16):
+    """Small dense-BEV FSDv2 for CPU tests (mirrors tiny_fsdv2_flagship)."""
+    from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
+
+    half = grid * 0.5 / 2
+    return SingleStageFSDV2(
+        point_cloud_range=(-half, -half, -2.0, half, half, 4.0),
+        virtual_voxel_size=(0.5, 0.5, 0.5),
+        score_thresh=(0.05, 0.05, 0.05),
+        caps=FSDV2Caps(fg_per_class=(64, 32, 32), voxels=256,
+                       union_voxels=256, virtual_out=64),
+        multiscale_levels=(0,),
+        ms_projector_hiddens=((16,),),
+        ms_output_dim=16,
+        mixer_type="dense_bev",
+        segmentor=dict(
+            voxel_size=(0.5, 0.5, 0.5),
+            max_voxels=256,
+            backbone="dense_bev",
+            vfe=dict(feat_channels=(16, 16), mode="max"),
+            unet=dict(
+                encoder_channels=((16, 16), (16, 16)),
+                decoder_channels=(16,),
+                out_channels=16,
+            ),
+            head=dict(num_classes=3, hidden_dims=(16, 16)),
+        ),
+        vfe=dict(feat_channels=(16, 16), mode="max"),
+        mixer=dict(z_channels=8, output_channels=16,
+                   encoder_channels=((16, 16), (16, 16)),
+                   decoder_channels=(16,)),
+        head=dict(
+            in_channel=16, shared_mlp_dims=(32,),
+            common_attrs=(("center", 3, 1, 16), ("dim", 3, 1, 16),
+                          ("rot", 2, 1, 16)),
+            num_cls_layer=1, cls_hidden_dim=16,
+        ),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=32, max_num=16,
+                      use_rotate_nms=True),
     )
 
 

@@ -1,0 +1,175 @@
+"""TPU-native dense-BEV backbone — the fast path for FSD-family segmentors.
+
+The reference's production segmentor is a spconv 3D UNet
+(/root/reference/mmdet3d/models/middle_encoders/sparse_unet.py:324
+SimpleSparseUNet). On GPU, rulebook sparse conv touches only active pairs; on
+TPU the same computation lowers to 27-tap random row gathers, which are
+HBM-latency-bound and leave the MXU idle (measured: ~130 ms of gathers per
+frame at Waymo scale, >40% of e2e).
+
+This module is the TPU-first redesign of that stage: pack z into the feature
+dimension (learned z-embedding + max scatter), run a dense 2D BEV UNet —
+every FLOP lands on the MXU, every HBM access is contiguous — and re-inject
+z at the per-voxel devoxelize step so downstream consumers still see
+per-3D-voxel features. The sparse UNet path remains available
+(``VoteSegmentor(backbone="sparse")``) for exact reference-topology parity;
+both paths train to the same synthetic AP (tests/test_dense_bev.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sst_tpu.models.layers import ConvNormAct, MLP
+
+
+def bev_cell_ids(coords, grid_hw, valid):
+    """[V,4] (b,z,y,x) coords → flat BEV cell id b*H*W + y*W + x (pad → H*W*B)."""
+    h, w = grid_hw
+    cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
+    return jnp.where(valid, cell, -1)
+
+
+class BEVScatter(nn.Module):
+    """Scatter per-voxel features onto a dense BEV canvas.
+
+    z is folded into features via a learned embedding before a max-reduce
+    over each xy column (PointPillars-style collapse, but at 3D-voxel
+    granularity so thin structures at different heights stay separable).
+    Assumes feats are post-ReLU (>= 0), so an all-zeros canvas cell reads as
+    "empty"; an explicit occupancy channel is appended for the convs.
+    """
+
+    nz: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, batch_size: int, grid_hw):
+        h, w = grid_hw
+        c = feats.shape[-1]
+        zemb = self.param("z_embed", nn.initializers.normal(0.02),
+                          (self.nz, c), jnp.float32)
+        z = jnp.clip(coords[:, 1], 0, self.nz - 1)
+        x = (feats + zemb[z].astype(feats.dtype))
+        x = jnp.where(valid[:, None], x, 0.0)
+        cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
+        cell = jnp.where(valid, cell, batch_size * h * w)
+        canvas = jnp.zeros((batch_size * h * w, c), feats.dtype)
+        canvas = canvas.at[cell].max(x, mode="drop")
+        occ = jnp.zeros((batch_size * h * w, 1), feats.dtype)
+        occ = occ.at[cell].max(jnp.ones((feats.shape[0], 1), feats.dtype),
+                               mode="drop")
+        return jnp.concatenate([canvas, occ], -1).reshape(batch_size, h, w, c + 1)
+
+
+class DenseBEVUNet(nn.Module):
+    """2D BEV encoder-decoder with stride-2 downsamples and lateral adds.
+
+    encoder_channels[i] are the conv widths at scale 1/2^i (the first conv of
+    scale i>0 is the stride-2 downsample). decoder runs deepest-first;
+    ``decoder_channels[d]`` is the width after merging with the lateral at
+    scale (num_scales-2-d). Returns the full-res output map plus every
+    decoder map (deepest-first) for multiscale consumers.
+    """
+
+    encoder_channels: tuple = ((64, 64), (128, 128), (256, 256), (256, 256))
+    decoder_channels: tuple = (256, 128, 128)
+    out_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        enc = []
+        for i, widths in enumerate(self.encoder_channels):
+            for j, cch in enumerate(widths):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = ConvNormAct(cch, 3, stride=stride, dtype=self.dtype,
+                                name=f"enc_{i}_{j}")(x, train)
+            enc.append(x)
+
+        dec_maps = []
+        x = enc[-1]
+        for d, cch in enumerate(self.decoder_channels):
+            skip = enc[len(self.encoder_channels) - 2 - d]
+            b, hh, ww, _ = skip.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = ConvNormAct(cch, 3, dtype=self.dtype, name=f"up_{d}")(x, train)
+            lat = ConvNormAct(cch, 1, dtype=self.dtype, name=f"lat_{d}")(skip, train)
+            x = ConvNormAct(cch, 3, dtype=self.dtype, name=f"merge_{d}")(
+                x + lat, train)
+            dec_maps.append(x)
+        out = ConvNormAct(self.out_channels, 3, dtype=self.dtype,
+                          name="out_conv")(x, train)
+        return out, dec_maps
+
+
+class DenseVoxelDecode(nn.Module):
+    """Per-3D-voxel features from a BEV map: gather the voxel's xy cell and
+    re-inject z via an embedding + fuse MLP (the devoxelize counterpart of
+    BEVScatter's z-collapse)."""
+
+    nz: int
+    out_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bev, coords, valid, train: bool = False):
+        b, h, w, c = bev.shape
+        flat = bev.reshape(b * h * w, c)
+        cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
+        cell = jnp.clip(cell, 0, b * h * w - 1)
+        g = flat[cell]
+        zemb = self.param("z_embed", nn.initializers.normal(0.02),
+                          (self.nz, 32), jnp.float32)
+        z = jnp.clip(coords[:, 1], 0, self.nz - 1)
+        x = jnp.concatenate([g, zemb[z].astype(g.dtype)], -1)
+        x = MLP((self.out_channels,), norm="ln", dtype=self.dtype,
+                name="fuse")(x, valid, train)
+        return jnp.where(valid[:, None], x, 0.0)
+
+
+class DenseBEVMixer(nn.Module):
+    """TPU-native VirtualVoxelMixer: z-sliced scatter (z kept as channel
+    groups), small 2D UNet over the virtual BEV grid, per-site z-slice
+    gather + projection back to per-voxel features.
+
+    Counterpart of reference sparse_unet.py:417 (VirtualVoxelMixer) for the
+    dense flagship path; the sparse mixer remains the parity path.
+    """
+
+    nz: int
+    z_channels: int = 32
+    output_channels: int = 128
+    encoder_channels: tuple = ((128, 128), (128, 128))
+    decoder_channels: tuple = (128,)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, batch_size: int, grid_hw,
+                 train: bool = False):
+        h, w = grid_hw
+        cz = self.z_channels
+        x = MLP((cz,), norm="ln", dtype=self.dtype, name="pre")(
+            feats, valid, train)
+        x = nn.relu(x)  # keep >= 0 so empty canvas cells read as zero
+        z = jnp.clip(coords[:, 1], 0, self.nz - 1)
+        cellz = ((coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]) * self.nz + z
+        cellz = jnp.where(valid, cellz, batch_size * h * w * self.nz)
+        canvas = jnp.zeros((batch_size * h * w * self.nz, cz), x.dtype)
+        canvas = canvas.at[cellz].max(jnp.where(valid[:, None], x, 0.0),
+                                      mode="drop")
+        canvas = canvas.reshape(batch_size, h, w, self.nz * cz)
+        out2d, _ = DenseBEVUNet(
+            encoder_channels=self.encoder_channels,
+            decoder_channels=self.decoder_channels,
+            out_channels=self.nz * cz, dtype=self.dtype, name="unet",
+        )(canvas, train)
+        flat = out2d.reshape(batch_size * h * w * self.nz, cz)
+        back = flat[jnp.clip(cellz, 0, flat.shape[0] - 1)]
+        y = jnp.concatenate([back, x], -1)
+        y = MLP((self.output_channels,), norm="ln", dtype=self.dtype,
+                name="post")(y, valid, train)
+        return jnp.where(valid[:, None], y, 0.0)

@@ -27,6 +27,7 @@ from flax import linen as nn
 from flax import struct
 
 from sst_tpu.core.box_coders import base_point_decode
+from sst_tpu.models.dense_bev import DenseBEVMixer
 from sst_tpu.models.fsd.roi_head import GroupCorrectionHead
 from sst_tpu.models.fsd.sparse_cluster_head import SparseClusterHeadV2
 from sst_tpu.models.fsd.vote_segmentor import VoteSegmentor, seg_targets
@@ -76,6 +77,10 @@ class SingleStageFSDV2(nn.Module):
     multiscale_levels: tuple = (0, 1)
     ms_projector_hiddens: tuple = ((128,), (128,))
     ms_output_dim: int = 128
+    # mixer_type="sparse": reference VirtualVoxelMixer (sparse UNet).
+    # mixer_type="dense_bev": TPU-native z-sliced dense mixer (dense_bev.py),
+    # used with a dense_bev segmentor backbone for the flagship fast path.
+    mixer_type: str = "sparse"
     mixer_strides: tuple = ((2, 2, 2), (2, 2, 2))
     mixer_paddings: tuple = ((1, 1, 1), (1, 1, 1))
     centroid_alpha: float | None = None
@@ -105,7 +110,13 @@ class SingleStageFSDV2(nn.Module):
             point_cloud_range=self.point_cloud_range,
             dtype=self.dtype, **self.vfe,
         )
-        self.mixer_mod = VirtualVoxelMixer(dtype=self.dtype, **self.mixer)
+        if self.mixer_type == "dense_bev":
+            vgrid = grid_shape_zyx(self.point_cloud_range,
+                                   self.virtual_voxel_size)
+            self.mixer_mod = DenseBEVMixer(nz=vgrid[0], dtype=self.dtype,
+                                           **self.mixer)
+        else:
+            self.mixer_mod = VirtualVoxelMixer(dtype=self.dtype, **self.mixer)
         self.head_mod = SparseClusterHeadV2(
             num_classes=self.num_classes, class_names=self.class_names,
             dtype=self.dtype, **self.head,
@@ -245,59 +256,85 @@ class SingleStageFSDV2(nn.Module):
             raise NotImplementedError("centroid_alpha gt weighting")
         centroid = segment_reduce(cat_xyz, vm.point_seg_ids, caps.voxels, "mean")
 
-        # --- multiscale fusion onto the virtual grid (:375-436)
         vgrid = grid_shape_zyx(self.point_cloud_range, self.virtual_voxel_size)
-        keys_l = [jnp.where(vm.voxel_valid, vm.unique.unique_keys, INT_SENTINEL)]
-        feats_l = [voxel_feats]
-        valid_l = [vm.voxel_valid]
-        ms = data.get("decoder_features")
-        plan0 = data.get("unet_plan")
-        for i, lvl_idx in enumerate(self.multiscale_levels):
-            feats = ms[lvl_idx]
-            # decoder feature d (deepest-first, len == num UNet stages S) lives
-            # at grid level S-2-d, clamped at 0 (see SimpleSparseUNet decoder).
-            lvl = max(len(ms) - 2 - lvl_idx, 0)
-            sgl = plan0.levels[lvl]
-            zs = vgrid[0] // sgl.grid[0]
-            ys = vgrid[1] // sgl.grid[1]
-            xs = vgrid[2] // sgl.grid[2]
-            assert zs >= 1 and ys >= 1 and xs >= 1, (
-                f"ms level {lvl_idx} (grid {sgl.grid}) finer than virtual grid "
-                f"{vgrid}; choose deeper multiscale_levels"
+        if data.get("decoder_maps") is not None:
+            # --- dense-path multiscale fusion: every active virtual voxel
+            # gathers its xy cell from each decoder BEV map (the dense analog
+            # of the reference's union-scatter, single_stage_fsd_v2.py:375-436:
+            # maps are dense, so every virtual site receives every level).
+            maps = data["decoder_maps"]
+            feats_sum = voxel_feats
+            n_contrib = 1.0
+            vc = vm.voxel_coords
+            for i, lvl_idx in enumerate(self.multiscale_levels):
+                m = maps[lvl_idx]
+                b, hl, wl, _ = m.shape
+                cy = jnp.clip((vc[:, 2] * hl) // vgrid[1], 0, hl - 1)
+                cx = jnp.clip((vc[:, 3] * wl) // vgrid[2], 0, wl - 1)
+                cell = (jnp.maximum(vc[:, 0], 0) * hl + cy) * wl + cx
+                g = m.reshape(b * hl * wl, -1)[cell]
+                feats_sum = feats_sum + self.ms_projs[i](g, vm.voxel_valid, train)
+                n_contrib += 1.0
+            union_feats = feats_sum / n_contrib
+            out_feats = self.mixer_mod(union_feats, vm.voxel_coords,
+                                       vm.voxel_valid, batch_size, vgrid[1:],
+                                       train)
+            # dense path: union slots == virtual-voxel slots, no re-keying
+            orig_out = out_feats
+        else:
+            # --- multiscale fusion onto the virtual grid (:375-436)
+            keys_l = [jnp.where(vm.voxel_valid, vm.unique.unique_keys,
+                                INT_SENTINEL)]
+            feats_l = [voxel_feats]
+            valid_l = [vm.voxel_valid]
+            ms = data.get("decoder_features")
+            plan0 = data.get("unet_plan")
+            for i, lvl_idx in enumerate(self.multiscale_levels):
+                feats = ms[lvl_idx]
+                # decoder feature d (deepest-first, len == num UNet stages S)
+                # lives at grid level S-2-d, clamped at 0 (see decoder).
+                lvl = max(len(ms) - 2 - lvl_idx, 0)
+                sgl = plan0.levels[lvl]
+                zs = vgrid[0] // sgl.grid[0]
+                ys = vgrid[1] // sgl.grid[1]
+                xs = vgrid[2] // sgl.grid[2]
+                assert zs >= 1 and ys >= 1 and xs >= 1, (
+                    f"ms level {lvl_idx} (grid {sgl.grid}) finer than virtual "
+                    f"grid {vgrid}; choose deeper multiscale_levels"
+                )
+                c = sgl.coords
+                proj = jnp.stack(
+                    [c[:, 0], c[:, 1] * zs + zs // 2, c[:, 2] * ys + ys // 2,
+                     c[:, 3] * xs + xs // 2], axis=-1,
+                )
+                keys_l.append(linearize_coords(proj, vgrid, sgl.valid))
+                feats_l.append(self.ms_projs[i](feats, sgl.valid, train))
+                valid_l.append(sgl.valid)
+
+            keys_all = jnp.concatenate(keys_l)
+            feats_all = jnp.concatenate(feats_l)
+            valid_all = jnp.concatenate(valid_l)
+            uu = unique_segments(keys_all, valid_all, caps.union_voxels)
+            union_feats = segment_reduce(feats_all, uu.seg_ids,
+                                         caps.union_voxels, "mean")
+            union_valid = uu.unique_keys != INT_SENTINEL
+            union_coords = delinearize_key(uu.unique_keys, vgrid, union_valid)
+            union_sg = SparseGrid(
+                keys=uu.unique_keys, coords=union_coords, valid=union_valid,
+                grid=vgrid, batch_size=batch_size,
             )
-            c = sgl.coords
-            proj = jnp.stack(
-                [c[:, 0], c[:, 1] * zs + zs // 2, c[:, 2] * ys + ys // 2,
-                 c[:, 3] * xs + xs // 2], axis=-1,
-            )
-            keys_l.append(linearize_coords(proj, vgrid, sgl.valid))
-            feats_l.append(self.ms_projs[i](feats, sgl.valid, train))
-            valid_l.append(sgl.valid)
 
-        keys_all = jnp.concatenate(keys_l)
-        feats_all = jnp.concatenate(feats_l)
-        valid_all = jnp.concatenate(valid_l)
-        uu = unique_segments(keys_all, valid_all, caps.union_voxels)
-        union_feats = segment_reduce(feats_all, uu.seg_ids, caps.union_voxels,
-                                     "mean")
-        union_valid = uu.unique_keys != INT_SENTINEL
-        union_coords = delinearize_key(uu.unique_keys, vgrid, union_valid)
-        union_sg = SparseGrid(
-            keys=uu.unique_keys, coords=union_coords, valid=union_valid,
-            grid=vgrid, batch_size=batch_size,
-        )
+            # --- mixer over the fused union grid
+            level_caps = [caps.union_voxels]
+            for _ in self.mixer_strides:
+                level_caps.append(level_caps[-1] // 2)
+            plan = build_unet_plan(union_sg, tuple(level_caps),
+                                   self.mixer_strides, self.mixer_paddings)
+            out_feats = self.mixer_mod(union_feats, plan, train)
 
-        # --- mixer over the fused union grid
-        level_caps = [caps.union_voxels]
-        for _ in self.mixer_strides:
-            level_caps.append(level_caps[-1] // 2)
-        plan = build_unet_plan(union_sg, tuple(level_caps), self.mixer_strides,
-                               self.mixer_paddings)
-        out_feats = self.mixer_mod(union_feats, plan, train)
-
-        # map original virtual-grid voxels → union slots (first V rows of uu)
-        orig_slot = uu.seg_ids[: caps.voxels]
-        orig_out = gather_segments(out_feats, orig_slot)
+            # map original virtual-grid voxels → union slots (first V rows)
+            orig_slot = uu.seg_ids[: caps.voxels]
+            orig_out = gather_segments(out_feats, orig_slot)
 
         # --- compact virtual voxels for the head
         vidx, vvalid = topk_compact(vox_indicator, virtual_mask, caps.virtual_out)
@@ -340,7 +377,8 @@ class SingleStageFSDV2(nn.Module):
         data = {k: seg_out[k] for k in (
             "seg_points", "seg_logits", "seg_vote_preds", "offsets",
             "seg_feats", "batch_idx", "valid", "decoder_features", "unet_plan",
-        )}
+            "decoder_maps",
+        ) if k in seg_out}
         if detach_seg:
             for k in ("seg_logits", "seg_vote_preds", "offsets"):
                 data[k] = jax.lax.stop_gradient(data[k])

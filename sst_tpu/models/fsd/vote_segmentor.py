@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from sst_tpu.core.boxes import gravity_center, points_in_boxes
 from sst_tpu.core import losses as L
+from sst_tpu.models.dense_bev import BEVScatter, DenseBEVUNet, DenseVoxelDecode
 from sst_tpu.models.layers import MLP
 from sst_tpu.models.sparse_unet import SimpleSparseUNet, build_unet_plan
 from sst_tpu.models.vfe import DynamicVFE
@@ -112,6 +113,10 @@ class VoteSegmentor(nn.Module):
     voxel_size: tuple = (0.25, 0.25, 0.2)
     point_cloud_range: tuple = (-80.0, -80.0, -2.0, 80.0, 80.0, 4.0)
     max_voxels: int = 65536
+    # backbone="sparse": reference-topology spconv UNet (sparse_unet.py:324).
+    # backbone="dense_bev": TPU-native z-packed dense 2D UNet (dense_bev.py) —
+    # same per-point outputs, MXU-bound instead of gather-bound.
+    backbone: str = "sparse"
     unet_level_caps: tuple = (65536, 32768, 16384, 8192, 4096)
     unet_strides: tuple = ((2, 2, 2),) * 4
     unet_paddings: tuple = ((1, 1, 1), (1, 1, 1), (0, 1, 1), (1, 1, 1))
@@ -127,10 +132,22 @@ class VoteSegmentor(nn.Module):
             voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
             dtype=self.dtype, **(self.vfe or dict(feat_channels=(64, 64), mode="max")),
         )
-        self.unet_mod = SimpleSparseUNet(
-            dtype=self.dtype, return_multiscale=self.return_multiscale,
-            **(self.unet or {}),
-        )
+        grid = grid_shape_zyx(self.point_cloud_range, self.voxel_size)
+        if self.backbone == "dense_bev":
+            cfg = dict(self.unet or {})
+            out_ch = cfg.pop("out_channels", 128)
+            cfg.pop("in_channels", None)
+            cfg.pop("base_channels", None)
+            self.scatter_mod = BEVScatter(nz=grid[0], dtype=self.dtype)
+            self.unet_mod = DenseBEVUNet(out_channels=out_ch, dtype=self.dtype,
+                                         **cfg)
+            self.decode_mod = DenseVoxelDecode(nz=grid[0], out_channels=out_ch,
+                                               dtype=self.dtype)
+        else:
+            self.unet_mod = SimpleSparseUNet(
+                dtype=self.dtype, return_multiscale=self.return_multiscale,
+                **(self.unet or {}),
+            )
         self.head_mod = VoteSegHead(dtype=self.dtype, **(self.head or {}))
 
     def preprocess(self, points):
@@ -155,20 +172,30 @@ class VoteSegmentor(nn.Module):
         )
         voxel_feats = self.vfe_mod(pts, vm, train)
 
-        # voxel order from unique_segments is already sorted by key, so the
-        # SparseGrid can be built without re-sorting; order is identity.
         grid = grid_shape_zyx(self.point_cloud_range, self.voxel_size)
-        sg = SparseGrid(
-            keys=jnp.where(vm.voxel_valid, vm.unique.unique_keys,
-                           jnp.iinfo(jnp.int32).max),
-            coords=vm.voxel_coords, valid=vm.voxel_valid, grid=grid,
-            batch_size=batch_size,
-        )
-        plan = build_unet_plan(
-            sg, (self.max_voxels,) + tuple(self.unet_level_caps[1:]),
-            self.unet_strides, self.unet_paddings,
-        )
-        unet_out = self.unet_mod(voxel_feats, plan, train)
+        plan = None
+        decoder_maps = None
+        if self.backbone == "dense_bev":
+            canvas = self.scatter_mod(voxel_feats, vm.voxel_coords,
+                                      vm.voxel_valid, batch_size, grid[1:])
+            bev_out, decoder_maps = self.unet_mod(canvas, train)
+            vox_out = self.decode_mod(bev_out, vm.voxel_coords, vm.voxel_valid,
+                                      train)
+            unet_out = {"voxel_feats": vox_out}
+        else:
+            # voxel order from unique_segments is already sorted by key, so
+            # the SparseGrid can be built without re-sorting; order identity.
+            sg = SparseGrid(
+                keys=jnp.where(vm.voxel_valid, vm.unique.unique_keys,
+                               jnp.iinfo(jnp.int32).max),
+                coords=vm.voxel_coords, valid=vm.voxel_valid, grid=grid,
+                batch_size=batch_size,
+            )
+            plan = build_unet_plan(
+                sg, (self.max_voxels,) + tuple(self.unet_level_caps[1:]),
+                self.unet_strides, self.unet_paddings,
+            )
+            unet_out = self.unet_mod(voxel_feats, plan, train)
 
         # voxel2point: gather voxel feats back to points + local xyz
         pt_vox_feats = gather_segments(unet_out["voxel_feats"], vm.point_seg_ids)
@@ -189,7 +216,13 @@ class VoteSegmentor(nn.Module):
             "valid": vm.valid,
         }
         if self.return_multiscale:
-            out["decoder_features"] = unet_out["decoder_features"]
-            out["unet_plan"] = plan
+            if self.backbone == "dense_bev":
+                # dense path: decoder BEV maps (deepest-first), consumed by
+                # FSDv2's dense multiscale fusion (xy-cell gather, no union).
+                out["decoder_maps"] = decoder_maps
+                out["voxel_mapping"] = vm
+            else:
+                out["decoder_features"] = unet_out["decoder_features"]
+                out["unet_plan"] = plan
         return out
 
