@@ -26,13 +26,78 @@ from sst_tpu.core.iou import boxes_iou_3d
 from sst_tpu.core.nms import nms_bev, topk_presort
 from sst_tpu.models.fsd.sir import SIRLayer
 from sst_tpu.models.layers import MLP
-from sst_tpu.ops.segment import segment_reduce
+from sst_tpu.ops.segment import INT_SENTINEL, segment_reduce, unique_segments
+
+
+def _local_frame(points_xyz, pts_rois):
+    """Per-row box-local coords (lw: along box w, ll: along l, lz from box
+    top-center), for points_xyz [N,3] paired 1:1 with pts_rois [N,7]."""
+    relx = points_xyz[:, 0] - pts_rois[:, 0]
+    rely = points_xyz[:, 1] - pts_rois[:, 1]
+    c, s = jnp.cos(pts_rois[:, 6]), jnp.sin(pts_rois[:, 6])
+    lw = relx * c - rely * s  # rotate_2d(rel, -yaw)[..., 0]
+    ll = relx * s + rely * c
+    lz = points_xyz[:, 2] - (pts_rois[:, 2] + pts_rois[:, 5] / 2)
+    return lw, ll, lz
+
+
+def point_roi_membership(points_xyz, pts_valid, pts_batch, rois, roi_valid,
+                         roi_batch, extra_wlh, rounds: int = 2,
+                         chunk: int = 16384):
+    """Per-point containing-roi ids [N, rounds] (-1 = none), chunked so the
+    [chunk, R] inside matrix stays small. Round m is the m-th (by roi index)
+    roi containing the point — the static-membership replacement for the
+    CUDA op's unbounded multi-membership pair list."""
+    n = points_xyz.shape[0]
+    r = rois.shape[0]
+    ex = jnp.asarray(extra_wlh, jnp.float32)
+    pad = (-n) % chunk
+    pts = jnp.concatenate([points_xyz, jnp.zeros((pad, 3), points_xyz.dtype)])
+    pv = jnp.concatenate([pts_valid, jnp.zeros((pad,), bool)])
+    pb = jnp.concatenate([pts_batch, jnp.full((pad,), -1, pts_batch.dtype)])
+    cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    wh = rois[:, 3] / 2 + ex[0]
+    lh = rois[:, 4] / 2 + ex[1]
+    hh = rois[:, 5] / 2 + ex[2]
+    zc = rois[:, 2] + rois[:, 5] / 2
+
+    def per_chunk(args):
+        p, v, b = args
+        relx = p[:, 0, None] - rois[None, :, 0]
+        rely = p[:, 1, None] - rois[None, :, 1]
+        lw = relx * cos[None] - rely * sin[None]
+        ll = relx * sin[None] + rely * cos[None]
+        lz = p[:, 2, None] - zc[None]
+        inside = (
+            (jnp.abs(lw) <= wh[None]) & (jnp.abs(ll) <= lh[None])
+            & (jnp.abs(lz) <= hh[None])
+            & v[:, None] & roi_valid[None] & (b[:, None] == roi_batch[None])
+        )
+        outs = []
+        for _ in range(rounds):
+            rid = jnp.argmax(inside, axis=1).astype(jnp.int32)
+            any_in = inside.any(axis=1)
+            outs.append(jnp.where(any_in, rid, -1))
+            inside = inside & (jnp.arange(r, dtype=jnp.int32)[None] != rid[:, None])
+        return jnp.stack(outs, -1)
+
+    mem = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
+                                  pv.reshape(-1, chunk),
+                                  pb.reshape(-1, chunk)))
+    return mem.reshape(-1, rounds)[:n]
 
 
 def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
                        roi_batch, extra_wlh=(0.5, 0.5, 0.5),
-                       max_inbox_point: int = 256, chunk: int = 8192):
+                       max_inbox_point: int = 256,
+                       membership_rounds: int = 2, chunk: int = 16384):
     """[R, K] in-box point pairing + 13-dim geometry.
+
+    Sort-based pairing (reference dynamic_point_pool_op.py:12 caps without
+    O(R·N) per-roi top-k): one chunked point→roi membership pass, then a
+    single segment-rank over the pair list trims each roi to its first
+    ``max_inbox_point`` points (primary memberships first, then overlap
+    rounds, each in ascending point order).
 
     Returns dict: idx [R,K] point indices, valid [R,K], geo [R,K,13] =
     (local_l, local_w, local_z, off_l-, off_w-, off_z-, off_l+, off_w+,
@@ -40,46 +105,42 @@ def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
     """
     r = rois.shape[0]
     n = points_xyz.shape[0]
+    k = max_inbox_point
     ex = jnp.asarray(extra_wlh, jnp.float32)
 
-    def per_roi(roi, rv, rb):
-        ctr = roi[:3]
-        w, l, h = roi[3], roi[4], roi[5]
-        yaw = roi[6]
-        rel = points_xyz[:, :2] - ctr[None, :2]
-        local = rotate_2d(rel, jnp.full((n,), -yaw))
-        lw = local[:, 0]  # along w (box x-size)
-        ll = local[:, 1]  # along l
-        lz = points_xyz[:, 2] - (ctr[2] + h / 2)
-        in_x = jnp.abs(lw) <= w / 2 + ex[0]
-        in_y = jnp.abs(ll) <= l / 2 + ex[1]
-        in_z = jnp.abs(lz) <= h / 2 + ex[2]
-        inside_ext = in_x & in_y & in_z & pts_valid & (pts_batch == rb) & rv
-        inside_core = (
-            (jnp.abs(lw) <= w / 2) & (jnp.abs(ll) <= l / 2)
-            & (jnp.abs(lz) <= h / 2) & inside_ext
-        )
-        # first-K by point index
-        score = jnp.where(inside_ext, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
-        top, idx = jax.lax.top_k(score, max_inbox_point)
-        pv = jnp.isfinite(top)
-        geo = jnp.stack(
-            [
-                ll[idx], lw[idx], lz[idx],
-                l / 2 - ll[idx], w / 2 - lw[idx], h / 2 - lz[idx],
-                l / 2 + ll[idx], w / 2 + lw[idx], h / 2 + lz[idx],
-                (~inside_core[idx]).astype(jnp.float32),
-            ],
-            axis=-1,
-        )
-        rel_xyz = points_xyz[idx] - ctr[None]
-        geo = jnp.concatenate([geo, rel_xyz], axis=-1)
-        return idx, pv, jnp.where(pv[:, None], geo, 0.0)
+    mem = point_roi_membership(points_xyz, pts_valid, pts_batch, rois,
+                               roi_valid, roi_batch, extra_wlh,
+                               membership_rounds, chunk)
+    pair_roi = mem.T.reshape(-1)  # round-major: primary memberships first
+    pair_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), membership_rounds)
+    pvalid = pair_roi >= 0
+    uu = unique_segments(jnp.where(pvalid, pair_roi, INT_SENTINEL), pvalid, r)
+    keep = pvalid & (uu.ranks < k)
+    slot = jnp.where(keep, pair_roi * k + uu.ranks, r * k)
+    idx = jnp.zeros((r * k + 1,), jnp.int32).at[slot].set(pair_pt, mode="drop")
+    pv = jnp.zeros((r * k + 1,), bool).at[slot].set(keep, mode="drop")
+    idx = idx[:-1].reshape(r, k)
+    pv = pv[:-1].reshape(r, k)
 
-    idx, pv, geo = jax.lax.map(
-        lambda args: per_roi(*args), (rois, roi_valid, roi_batch)
+    # 13-dim geometry, recomputed only for the selected [R, K] pairs
+    flat_idx = idx.reshape(-1)
+    pts = points_xyz[flat_idx]
+    proi = jnp.repeat(rois, k, axis=0)
+    lw, ll, lz = _local_frame(pts, proi)
+    w2, l2, h2 = proi[:, 3] / 2, proi[:, 4] / 2, proi[:, 5] / 2
+    inside_core = ((jnp.abs(lw) <= w2) & (jnp.abs(ll) <= l2)
+                   & (jnp.abs(lz) <= h2))
+    geo = jnp.stack(
+        [ll, lw, lz,
+         l2 - ll, w2 - lw, h2 - lz,
+         l2 + ll, w2 + lw, h2 + lz,
+         (~inside_core).astype(jnp.float32)],
+        axis=-1,
     )
-    return {"idx": idx, "valid": pv & roi_valid[:, None], "geo": geo}
+    geo = jnp.concatenate([geo, pts - proi[:, :3]], axis=-1)
+    valid = pv & roi_valid[:, None]
+    geo = jnp.where(valid.reshape(-1)[:, None], geo, 0.0).reshape(r, k, 13)
+    return {"idx": idx, "valid": valid, "geo": geo}
 
 
 def canonical_gt(rois, gts):
