@@ -132,6 +132,68 @@ class IncrementalWaymoDataset(WaymoDataset):
                     seed_valid=sv, idx=idx, rng=self._rng)
 
 
+def box_frame_transform_np(boxes, pre_pose, cur_inv):
+    """Host-side 7-dof box pose transform (numpy twin of
+    ops/incremental.box_frame_transform)."""
+    mm = cur_inv @ pre_pose
+    out = boxes.copy()
+    out[:, :3] = boxes[:, :3] @ mm[:3, :3].T + mm[:3, 3]
+    yaw = boxes[:, 6]
+    heading = np.stack([np.sin(yaw), np.cos(yaw), np.zeros_like(yaw)], -1)
+    heading = heading @ mm[:3, :3].T
+    out[:, 6] = np.arctan2(heading[:, 0], heading[:, 1])
+    return out.astype(np.float32)
+
+
+def run_sequential_eval(dataset, predict_fn, score_thr: float = 0.1,
+                        feedback: bool = True):
+    """Sequential FSD++ evaluation with seed feedback.
+
+    The TPU counterpart of the reference's reuse test mode
+    (two_stage_fsdpp.py:357-403 reuse_simple_test): frames are visited in
+    stored (sequence, time) order and frame t's detections — pose-transformed
+    into frame t+1's ego frame — replace the offline seeds of frame t+1.
+    Sequence boundaries reset the seed state. `predict_fn` maps a collated
+    single-sample TemporalBatch to the standard prediction dict.
+
+    Simplification vs the reference: only the immediately previous frame's
+    detections seed the next frame (the reference additionally ages seeds up
+    to ``max_age``); the dataset still supplies the multi-frame point history.
+    """
+    live = {}  # seq -> (boxes@prev-ego, labels, scores, prev_pose)
+    results = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        seq, _ = dataset._seq_and_frame(idx)
+        cur_pose = np.asarray(dataset.infos[idx].get("pose", np.eye(4)),
+                              np.float64)
+        if feedback:
+            sb = np.zeros((dataset.max_seeds, 7), np.float32)
+            sl = np.zeros(dataset.max_seeds, np.int32)
+            ss = np.zeros(dataset.max_seeds, np.float32)
+            sv = np.zeros(dataset.max_seeds, bool)
+            if seq in live:
+                pb, pl, psc, ppose = live[seq]
+                if len(pb):
+                    b = box_frame_transform_np(pb, ppose,
+                                               np.linalg.inv(cur_pose))
+                    m = min(len(b), dataset.max_seeds)
+                    sb[:m], sl[:m], ss[:m], sv[:m] = (b[:m], pl[:m], psc[:m],
+                                                      True)
+            sample = dict(sample, seed_boxes=sb, seed_labels=sl,
+                          seed_scores=ss, seed_valid=sv)
+        out = predict_fn(collate_temporal([sample]))
+        valid = np.asarray(out["valid"][0])
+        boxes = np.asarray(out["boxes"][0])[valid][:, :7]
+        scores = np.asarray(out["scores"][0])[valid]
+        labels = np.asarray(out["labels"][0])[valid]
+        results.append(dict(boxes=boxes, scores=scores, labels=labels,
+                            idx=sample.get("idx", idx)))
+        keep = scores > score_thr
+        live[seq] = (boxes[keep], labels[keep], scores[keep], cur_pose)
+    return results
+
+
 def collate_temporal(samples):
     """Stack padded incremental samples into a TemporalBatch."""
     import jax.numpy as jnp

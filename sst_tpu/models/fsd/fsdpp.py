@@ -25,7 +25,10 @@ from flax import struct
 from sst_tpu.core.boxes import points_in_boxes
 from sst_tpu.models.detectors.dynamic_voxelnet import PointBatch
 from sst_tpu.models.fsd.two_stage import FSD
+from sst_tpu.ops.ccl import topk_compact
+from sst_tpu.ops.fps import group_fps_mask
 from sst_tpu.ops.incremental import delta_points_mask
+from sst_tpu.ops.segment import INT_SENTINEL, unique_segments
 
 
 @struct.dataclass
@@ -58,6 +61,15 @@ class TwoStageFSDPP(nn.Module):
     center_noise: float = 0.0
     dim_noise: float = 0.0
     yaw_noise: float = 0.0
+    # train-time seed augmentation (two_stage_fsdpp.py:843-844):
+    fp_rate: float | None = None  # random FP insertion (:860-884)
+    seed_drop_rate: float | None = None  # random seed dropping (:899-941)
+    # previous-point crop subsampling (crop_and_process_points :637-679);
+    # at most one of the two. Ours caps per seed box across all previous
+    # frames (the reference caps per (frame, box); with a merged seed set a
+    # single budget is equivalent discipline).
+    max_crop_points: int | None = None  # first-K rank trim (:658-672)
+    n_fps: int | None = None  # torchex group_fps (:671)
     frame_id_scale: float = 0.1  # hard-coded /10 (two_stage_fsdpp.py:721)
     dtype: Any = jnp.float32
 
@@ -66,9 +78,46 @@ class TwoStageFSDPP(nn.Module):
 
     # --------------------------------------------------------------- seeds
 
+    def _fp_insertion(self, boxes, labels, scores, valid, rng):
+        """Duplicate a random subset of seeds into empty slots, shifted by
+        U(-10, 10) m in xy (two_stage_fsdpp.py:860-884) — simulates false
+        positives so the rcnn learns to kill them."""
+        b, s = valid.shape
+        k1, k2 = jax.random.split(rng)
+        cand = valid & (jax.random.uniform(k1, (b, s)) < self.fp_rate)
+        shift = (jax.random.uniform(k2, (b, s, 2)) - 0.5) * 20.0
+
+        def per(bx, lb, sc, va, cd, sh):
+            cidx, cok = topk_compact(jnp.ones((s,)), cd, s)
+            eidx, eok = topk_compact(jnp.ones((s,)), ~va, s)
+            place = cok & eok
+            dst = jnp.where(place, eidx, s)
+            moved = bx[cidx].at[:, :2].add(sh[cidx])
+            return (bx.at[dst].set(moved, mode="drop"),
+                    lb.at[dst].set(lb[cidx], mode="drop"),
+                    sc.at[dst].set(sc[cidx], mode="drop"),
+                    va.at[dst].set(place, mode="drop"))
+
+        return jax.vmap(per)(boxes, labels, scores, valid, cand, shift)
+
     def preprocess_seeds(self, batch: TemporalBatch, train: bool, rng=None):
         boxes = batch.seed_boxes
+        labels = batch.seed_labels
+        scores = batch.seed_scores
         valid = batch.seed_valid & (batch.seed_scores > self.pre_score_thr)
+        if train and rng is not None:
+            rng, kfp, kdrop = jax.random.split(rng, 3)
+            if self.seed_drop_rate:
+                # single merged seed set → track-consistent dropping reduces
+                # to one Bernoulli mask (ref :899-941 propagates the base
+                # frame's mask across frames by IoU matching)
+                valid = valid & (
+                    jax.random.uniform(kdrop, valid.shape) > self.seed_drop_rate
+                )
+            if self.fp_rate:
+                boxes, labels, scores, valid = self._fp_insertion(
+                    boxes, labels, scores, valid, kfp
+                )
         if train and rng is not None and (
             self.center_noise > 0 or self.dim_noise > 0 or self.yaw_noise > 0
         ):
@@ -81,7 +130,7 @@ class TwoStageFSDPP(nn.Module):
                  boxes[..., 6:7] + noise_y], axis=-1,
             )
         ew = jnp.asarray(self.extra_width, jnp.float32)
-        labels = jnp.clip(batch.seed_labels, 0, len(self.extra_width) - 1)
+        labels = jnp.clip(labels, 0, len(self.extra_width) - 1)
         # class-wise symmetric enlargement (lidar_box3d.py classwise_enlarged)
         grow = ew[labels][..., None] * jnp.ones((1, 1, 3))
         enlarged = jnp.concatenate(
@@ -104,9 +153,22 @@ class TwoStageFSDPP(nn.Module):
                 xyz, valid & cur, xyz, prev,
                 self.point_cloud_range, self.inc_voxel_size,
             )
-            inb = points_in_boxes(xyz, seeds)  # [P, S]
-            in_seed = (inb & sv[None, :]).any(axis=1)
-            return (cur & valid & delta) | (prev & in_seed)
+            inb = points_in_boxes(xyz, seeds) & sv[None, :]  # [P, S]
+            in_seed = inb.any(axis=1)
+            crop = prev & in_seed
+            if self.max_crop_points or self.n_fps:
+                s = seeds.shape[0]
+                box_id = jnp.argmax(inb, axis=1).astype(jnp.int32)
+                if self.max_crop_points:
+                    # first-K per seed box (crop_and_process_points :658-668)
+                    uu = unique_segments(
+                        jnp.where(crop, box_id, INT_SENTINEL), crop, s
+                    )
+                    crop = crop & (uu.ranks < self.max_crop_points)
+                else:
+                    # per-box farthest point sampling (torchex group_fps :671)
+                    crop = group_fps_mask(xyz, box_id, crop, s, self.n_fps)
+            return (cur & valid & delta) | crop
 
         return jax.vmap(per_sample)(
             batch.points, batch.valid, batch.frame_inds, enlarged_seeds,
@@ -130,6 +192,7 @@ class TwoStageFSDPP(nn.Module):
              thr_extra: float = 0.0):
         rng = self.make_rng("seeds") if train and (
             self.center_noise > 0 or self.dim_noise > 0 or self.yaw_noise > 0
+            or self.fp_rate or self.seed_drop_rate
         ) else None
         pb = self.to_point_batch(batch, train, rng)
         losses = self.fsd_mod.loss(pb, train, thr_extra)

@@ -16,6 +16,7 @@ from sst_tpu.ops.voxelize import (
     linearize_coords,
 )
 from sst_tpu.ops.ccl import compact_labels, connected_components, topk_compact
+from sst_tpu.ops.fps import furthest_point_sample, group_fps_mask
 from sst_tpu.ops.incremental import (
     box_frame_transform,
     delta_points_mask,

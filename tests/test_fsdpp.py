@@ -135,3 +135,55 @@ def test_fsdpp_predict(fsdpp_setup):
     out = model.apply(variables, batch, method=model.predict)
     assert out["boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_fsdpp_seed_aug_and_crop_caps():
+    """fp insertion, seed dropping and crop subsampling (reference
+    two_stage_fsdpp.py:843-844, :658-671) keep losses finite and respect
+    the static seed-slot layout."""
+    base = tiny_fsdpp()
+    model = base.clone(fp_rate=0.5, seed_drop_rate=0.3, max_crop_points=8)
+    rng = np.random.RandomState(7)
+    batch = make_temporal_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "seeds": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    out, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        batch, train=True, method=model.loss,
+        rngs={"seeds": jax.random.PRNGKey(3)}, mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(sum(v for k, v in out.items()
+                                 if k.startswith("loss"))))
+
+    # fp insertion on a half-empty seed set adds boxes into empty slots
+    b, s = 2, 8
+    boxes = jnp.asarray(np.tile([1.0, 1.0, -0.5, 2, 2, 2, 0.0], (b, s, 1)))
+    valid = jnp.asarray(np.arange(s)[None] < 3).repeat(b, 0)
+    labels = jnp.zeros((b, s), jnp.int32)
+    scores = jnp.full((b, s), 0.9)
+    m2 = base.clone(fp_rate=1.0)
+    nb, nl, ns, nv = m2.apply(
+        {"params": {}}, boxes, labels, scores, valid,
+        jax.random.PRNGKey(0), method=m2._fp_insertion,
+    )
+    assert int(nv.sum()) == 12  # 3 originals + 3 copies per sample
+    # copies are xy-shifted versions of originals
+    new = np.asarray(nb)[np.asarray(nv) & ~np.asarray(valid)]
+    assert (np.abs(new[:, :2] - 1.0) <= 10.0 + 1e-5).all()
+    np.testing.assert_allclose(new[:, 2:], np.tile([-0.5, 2, 2, 2, 0], (6, 1)),
+                               atol=1e-6)
+
+
+def test_fsdpp_group_fps_crop():
+    model = tiny_fsdpp().clone(n_fps=4)
+    rng = np.random.RandomState(8)
+    batch = make_temporal_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "seeds": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    pb = model.apply(variables, batch, False, method=model.to_point_batch)
+    assert np.isfinite(np.asarray(pb.points)).all()
+    assert int(pb.valid.sum()) > 0

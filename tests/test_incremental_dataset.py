@@ -91,3 +91,50 @@ def test_incremental_dataset(seq_data):
     )
     total = sum(float(v) for k, v in out.items() if k.startswith("loss"))
     assert np.isfinite(total), {k: float(v) for k, v in out.items()}
+
+
+def test_sequential_eval_seed_feedback(seq_data):
+    """Frame t's detections must appear (pose-transformed) as frame t+1's
+    seeds — the reuse_simple_test loop (two_stage_fsdpp.py:357-403)."""
+    import jax
+    import numpy as np
+
+    from sst_tpu.data.incremental_dataset import (
+        IncrementalWaymoDataset,
+        run_sequential_eval,
+    )
+
+    ds = IncrementalWaymoDataset(
+        data_root=str(seq_data), info_path=str(seq_data / "infos.pkl"),
+        num_previous_frames=2, max_points=2048, max_seeds=8, max_gt=8,
+        load_dim=6, use_dim=(0, 1, 2, 3, 4), test_mode=True,
+    )
+
+    seen_seeds = []
+
+    def fake_predict(batch):
+        # record the seeds this frame received, then "detect" one box at the
+        # ego origin with score 0.9
+        seen_seeds.append(
+            (np.asarray(batch.seed_boxes[0]).copy(),
+             np.asarray(batch.seed_valid[0]).copy())
+        )
+        b = np.zeros((1, 4, 7), np.float32)
+        b[0, 0] = [3.0, 0.0, -0.5, 2, 4, 1.5, 0.3]
+        return dict(
+            boxes=b, scores=np.array([[0.9, 0, 0, 0]], np.float32),
+            labels=np.zeros((1, 4), np.int32),
+            valid=np.array([[True, False, False, False]]),
+        )
+
+    results = run_sequential_eval(ds, fake_predict, score_thr=0.5)
+    assert len(results) == len(ds)
+    # frame 0 of each sequence: no seeds
+    assert not seen_seeds[0][1].any()
+    assert not seen_seeds[4][1].any()
+    # frame 1 of sequence 0: exactly the frame-0 detection, shifted by the
+    # ego motion (+1 m in x per frame → box x 3.0 becomes 2.0)
+    boxes1, valid1 = seen_seeds[1]
+    assert valid1.sum() == 1
+    np.testing.assert_allclose(boxes1[0], [2.0, 0.0, -0.5, 2, 4, 1.5, 0.3],
+                               atol=1e-5)

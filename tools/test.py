@@ -23,7 +23,87 @@ def parse_args():
     p.add_argument("--num-samples", type=int, default=16)
     p.add_argument("--eval", default="ap3d", choices=["ap3d", "apbev", "none"])
     p.add_argument("--out", default=None, help="write predictions (pkl)")
+    p.add_argument(
+        "--sequential", action="store_true",
+        help="FSD++ sequential mode: visit frames in time order; frame t's "
+             "detections seed frame t+1 (reference reuse_simple_test, "
+             "two_stage_fsdpp.py:357). Needs data.dataset=waymo_incremental.",
+    )
     return p.parse_args()
+
+
+def run_sequential(args, cfg, model, data_cfg):
+    import jax
+    import numpy as np
+
+    from sst_tpu.data.incremental_dataset import (
+        IncrementalWaymoDataset,
+        collate_temporal,
+        run_sequential_eval,
+    )
+
+    dataset = IncrementalWaymoDataset(
+        data_root=data_cfg["data_root"],
+        info_path=data_cfg.get("val_info_path", data_cfg.get("info_path")),
+        seeds_path=data_cfg.get("seeds_path"),
+        num_previous_frames=data_cfg.get("num_previous_frames", 6),
+        max_points=data_cfg.get("max_points", 262144),
+        max_seeds=data_cfg.get("max_seeds", 256),
+        max_gt=data_cfg.get("max_gt", 128),
+        load_dim=data_cfg.get("load_dim", 6),
+        use_dim=tuple(data_cfg.get("use_dim", (0, 1, 2, 3, 4))),
+        test_mode=True,
+    )
+    batch0 = collate_temporal([dataset[0]])
+    variables = jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(0), "seeds": jax.random.PRNGKey(1)},
+            b, train=False,
+        )
+    )(batch0)
+    variables = maybe_restore(args, model, variables)
+    predict = jax.jit(lambda b: model.apply(variables, b, method=model.predict))
+    results = run_sequential_eval(
+        dataset, predict, score_thr=data_cfg.get("seed_score_thr", 0.1)
+    )
+    print(f"sequential eval: {len(results)} frames", flush=True)
+    if args.out:
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+    if args.eval != "none":
+        import json
+
+        from sst_tpu.core.evaluation import eval_ap
+
+        preds, gts = [], []
+        for r in results:
+            preds.append({k: r[k] for k in ("boxes", "scores", "labels")})
+            s = dataset[r["idx"]]
+            gv = s["gt_valid"]
+            gts.append({"boxes": s["gt_boxes"][gv][:, :7],
+                        "labels": s["gt_labels"][gv]})
+        mode = "3d" if args.eval == "ap3d" else "bev"
+        res = eval_ap(preds, gts, list(dataset.classes), mode=mode)
+        print(json.dumps({f"AP_{mode}": res}))
+
+
+def maybe_restore(args, model, variables):
+    if not args.checkpoint:
+        return variables
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from sst_tpu.train import create_train_state, make_optimizer
+
+    tx = make_optimizer()
+    state = create_train_state(model, variables, tx)
+    state = ocp.StandardCheckpointer().restore(
+        os.path.abspath(args.checkpoint), state
+    )
+    return {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def main():
@@ -47,6 +127,10 @@ def main():
     cap = cfg.get("capacity", {})
     max_points = cap.get("max_points", 65536)
     data_cfg = cfg.get("data", {})
+
+    if args.sequential:
+        run_sequential(args, cfg, model, data_cfg)
+        return
 
     if args.synthetic or data_cfg.get("dataset") == "synthetic":
         dataset = SyntheticDataset(
@@ -80,18 +164,7 @@ def main():
             b, train=False,
         )
     )
-    variables = init_fn(sample)
-    if args.checkpoint:
-        import orbax.checkpoint as ocp
-        from sst_tpu.train import create_train_state, make_optimizer
-
-        tx = make_optimizer()
-        from sst_tpu.train.state import TrainState
-        state = create_train_state(model, variables, tx)
-        state = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.checkpoint), state
-        )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = maybe_restore(args, model, init_fn(sample))
 
     predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
 
