@@ -59,6 +59,10 @@ model = dict(
         extra_wlh=(0.5, 0.5, 0.5),
         max_inbox_point=256,
         pos_iou_thr=(0.55, 0.5, 0.5),
+        # reference train_cfg.rcnn.sampler (configs/fsd/fsd_waymoD1_1x.py:234)
+        sampler=dict(num=256, pos_fraction=0.55,
+                     neg_piece_fractions=(0.8, 0.2),
+                     neg_iou_piece_thrs=(0.55, 0.1)),
         cls_pos_thr=(0.75, 0.6, 0.6),
         cls_neg_thr=(0.25, 0.15, 0.15),
         bbox_head=dict(

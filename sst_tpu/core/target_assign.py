@@ -87,3 +87,125 @@ def max_iou_assign(
     which = which_c.reshape(-1)[:a]
     assigned = jnp.where(hit, which, assigned)
     return assigned, max_iou
+
+
+def gt_fg_points_mask(points_xyz, batch_idx, valid, gt_boxes, gt_labels,
+                      gt_valid, cls: int | None = None, chunk: int = 16384):
+    """Per-point "inside a (same-class) gt box of its sample" mask.
+
+    The reference's add_gt_fg_points / get_batched_gt_fg_mask
+    (single_stage_fsd.py:776-796, single_stage_fsd_v2.py:250): points the
+    segmentor missed but that lie inside a gt box are injected as fg during
+    training. cls=None matches any class.
+    """
+    from sst_tpu.core.boxes import points_in_boxes
+
+    b, g = gt_boxes.shape[:2]
+    gt_flat = gt_boxes.reshape(b * g, -1)[:, :7]
+    gmask = gt_valid.reshape(-1)
+    if cls is not None:
+        gmask = gmask & (gt_labels.reshape(-1) == cls)
+    gt_b = jnp.repeat(jnp.arange(b, dtype=jnp.int32), g)
+
+    n = points_xyz.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.concatenate([points_xyz[:, :3],
+                           jnp.zeros((pad, 3), points_xyz.dtype)])
+    pbi = jnp.concatenate([batch_idx, jnp.full((pad,), -1, batch_idx.dtype)])
+
+    def per_chunk(args):
+        xyz, bi = args
+        inb = points_in_boxes(xyz, gt_flat)  # [chunk, B*G]
+        ok = inb & gmask[None, :] & (bi[:, None] == gt_b[None, :])
+        return ok.any(axis=1)
+
+    m = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
+                                pbi.reshape(-1, chunk)))
+    return m.reshape(-1)[:n] & valid
+
+
+def iou_neg_piecewise_sample(rng, max_iou, is_pos, valid, num: int,
+                             pos_fraction: float,
+                             neg_piece_fractions,
+                             neg_iou_piece_thrs):
+    """Static-shape IoUNegPiecewiseSampler
+    (core/bbox/samplers/iou_neg_piecewise_sampler.py): returns a boolean
+    keep mask over proposal slots — up to num*pos_fraction random positives
+    plus negatives drawn piecewise by IoU band ([thrs[i+1], thrs[i]) for
+    piece i, [0, thrs[-1]) for the last), short pieces extending the next.
+    """
+    from sst_tpu.ops.ccl import topk_compact
+    from sst_tpu.ops.segment import INT_SENTINEL, unique_segments
+
+    p = max_iou.shape[0]
+    npieces = len(neg_piece_fractions)
+    r = jax.random.uniform(rng, (p,))
+
+    pos_exp = int(num * pos_fraction)
+    kidx, kok = topk_compact(r, is_pos & valid, pos_exp)
+    keep = jnp.zeros((p,), bool).at[jnp.where(kok, kidx, p)].set(
+        True, mode="drop")
+    neg_exp = jnp.maximum(num - keep.sum(), 0)
+
+    neg = valid & ~is_pos
+    thrs = list(neg_iou_piece_thrs) + [0.0]
+    piece = jnp.full((p,), npieces, jnp.int32)
+    for i in range(npieces):
+        lo = thrs[i + 1] if i < npieces - 1 else 0.0
+        band = neg & (max_iou >= lo) & (max_iou < thrs[i])
+        piece = jnp.where(band, i, piece)
+
+    # random-order rank within each piece: rank over a random permutation
+    order = jnp.argsort(r)
+    pperm = piece[order]
+    uu = unique_segments(jnp.where(pperm < npieces, pperm, INT_SENTINEL),
+                         pperm < npieces, npieces)
+    ranks = jnp.zeros((p,), jnp.int32).at[order].set(uu.ranks)
+    counts = jax.ops.segment_sum(
+        jnp.ones((p,), jnp.int32), jnp.where(piece < npieces, piece, npieces),
+        num_segments=npieces + 1)[:npieces]
+
+    taken = jnp.zeros((), jnp.int32)
+    extend = jnp.zeros((), jnp.int32)
+    for i in range(npieces):
+        if i == npieces - 1:
+            budget = neg_exp - taken
+        else:
+            budget = jnp.floor(neg_exp * neg_piece_fractions[i]).astype(
+                jnp.int32) + extend
+        actual = jnp.minimum(counts[i], budget)
+        extend = budget - actual
+        taken = taken + actual
+        keep = keep | ((piece == i) & (ranks < budget))
+    return keep
+
+
+def gt_point_class_labels(points_xyz, batch_idx, valid, gt_boxes, gt_labels,
+                          gt_valid, chunk: int = 16384):
+    """Per-point class label of the first containing gt box of its sample,
+    -1 when inside none (the label-resolved form of gt_fg_points_mask)."""
+    from sst_tpu.core.boxes import points_in_boxes
+
+    b, g = gt_boxes.shape[:2]
+    gt_flat = gt_boxes.reshape(b * g, -1)[:, :7]
+    gl = gt_labels.reshape(-1)
+    gmask = gt_valid.reshape(-1)
+    gt_b = jnp.repeat(jnp.arange(b, dtype=jnp.int32), g)
+
+    n = points_xyz.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.concatenate([points_xyz[:, :3],
+                           jnp.zeros((pad, 3), points_xyz.dtype)])
+    pbi = jnp.concatenate([batch_idx, jnp.full((pad,), -1, batch_idx.dtype)])
+
+    def per_chunk(args):
+        xyz, bi = args
+        inb = points_in_boxes(xyz, gt_flat)
+        ok = inb & gmask[None, :] & (bi[:, None] == gt_b[None, :])
+        any_in = ok.any(axis=1)
+        first = ok.argmax(axis=1).astype(jnp.int32)
+        return jnp.where(any_in, gl[first], -1)
+
+    m = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
+                                pbi.reshape(-1, chunk)))
+    return jnp.where(valid, m.reshape(-1)[:n], -1)

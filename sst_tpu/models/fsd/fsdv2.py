@@ -27,6 +27,7 @@ from flax import linen as nn
 from flax import struct
 
 from sst_tpu.core.box_coders import base_point_decode
+from sst_tpu.core.target_assign import gt_fg_points_mask, gt_point_class_labels
 from sst_tpu.models.dense_bev import DenseBEVMixer
 from sst_tpu.models.fsd.roi_head import GroupCorrectionHead
 from sst_tpu.models.fsd.sparse_cluster_head import SparseClusterHeadV2
@@ -84,6 +85,7 @@ class SingleStageFSDV2(nn.Module):
     mixer_strides: tuple = ((2, 2, 2), (2, 2, 2))
     mixer_paddings: tuple = ((1, 1, 1), (1, 1, 1))
     centroid_alpha: float | None = None
+    add_gt_fg_points: bool = False  # train_cfg.get('add_gt_fg_points')
     caps: FSDV2Caps = struct.field(default_factory=FSDV2Caps)
     segmentor: dict = struct.field(default_factory=dict)
     vfe: dict = struct.field(
@@ -151,6 +153,10 @@ class SingleStageFSDV2(nn.Module):
             fg = data["valid"]
         else:
             fg = data["valid"] & (scores > self.score_thresh[cls] + thr_extra)
+            if data.get("gt_point_labels") is not None:
+                # add_gt_fg_points (single_stage_fsd.py:776-796): recover
+                # segmentation misses inside same-class gt boxes at train time
+                fg = fg | (data["valid"] & (data["gt_point_labels"] == cls))
         idx, sel_valid = topk_compact(scores, fg, cap)
         pts = data["seg_points"][idx]
         offsets = data["offsets"][idx].reshape(-1, self.num_classes, 3)[:, cls]
@@ -185,6 +191,11 @@ class SingleStageFSDV2(nn.Module):
             fg = data["valid"]
         else:
             fg = data["valid"] & (gscore > self.score_thresh[gi] + thr_extra)
+            if data.get("gt_point_labels") is not None:
+                member = jnp.zeros_like(fg)
+                for cid in ids:
+                    member = member | (data["gt_point_labels"] == cid)
+                fg = fg | (data["valid"] & member)
         idx, sel_valid = topk_compact(gscore, fg, cap)
         pts = data["seg_points"][idx]
         member_logits = data["seg_logits"][idx][:, jnp.asarray(ids)]
@@ -251,10 +262,23 @@ class SingleStageFSDV2(nn.Module):
         vox_indicator = segment_reduce(indicator, vm.point_seg_ids, caps.voxels,
                                        "mean")
         virtual_mask = vm.voxel_valid & (vox_indicator > 0)
-        # alpha-weighted centroid (single_stage_fsd_v2.py:248-260)
+        # alpha-weighted centroid (single_stage_fsd_v2.py:248-260): gt-fg
+        # points weigh 1.0, everything else alpha, so the regression anchor
+        # leans toward actual object surface points.
         if train and self.centroid_alpha is not None:
-            raise NotImplementedError("centroid_alpha gt weighting")
-        centroid = segment_reduce(cat_xyz, vm.point_seg_ids, caps.voxels, "mean")
+            gfg = gt_fg_points_mask(
+                cat_xyz, cat_batch, cat_valid & vm.valid,
+                data["gt_boxes"], data["gt_labels"], data["gt_valid"],
+            )
+            w = jnp.where(gfg, 1.0, self.centroid_alpha)
+            w = w * (cat_valid & vm.valid).astype(jnp.float32)
+            sw = segment_reduce(cat_xyz * w[:, None], vm.point_seg_ids,
+                                caps.voxels, "sum")
+            sa = segment_reduce(w, vm.point_seg_ids, caps.voxels, "sum")
+            centroid = sw / jnp.maximum(sa, 1e-6)[:, None]
+        else:
+            centroid = segment_reduce(cat_xyz, vm.point_seg_ids, caps.voxels,
+                                      "mean")
 
         vgrid = grid_shape_zyx(self.point_cloud_range, self.virtual_voxel_size)
         if data.get("decoder_maps") is not None:
@@ -379,6 +403,16 @@ class SingleStageFSDV2(nn.Module):
             "seg_feats", "batch_idx", "valid", "decoder_features", "unet_plan",
             "decoder_maps",
         ) if k in seg_out}
+        if train:
+            data.update(gt_boxes=batch.gt_boxes, gt_labels=batch.gt_labels,
+                        gt_valid=batch.gt_valid)
+            if self.add_gt_fg_points:
+                lbl = gt_point_class_labels(
+                    seg_out["seg_points"][:, :3], seg_out["batch_idx"],
+                    seg_out["valid"], batch.gt_boxes, batch.gt_labels,
+                    batch.gt_valid,
+                )
+                data["gt_point_labels"] = lbl
         if detach_seg:
             for k in ("seg_logits", "seg_vote_preds", "offsets"):
                 data[k] = jax.lax.stop_gradient(data[k])

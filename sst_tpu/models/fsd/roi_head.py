@@ -23,6 +23,7 @@ from sst_tpu.core import losses as L
 from sst_tpu.core.box_coders import delta_decode, delta_encode
 from sst_tpu.core.boxes import corners, limit_period, rotate_2d
 from sst_tpu.core.iou import boxes_iou_3d
+from sst_tpu.core.target_assign import iou_neg_piecewise_sample
 from sst_tpu.core.nms import nms_bev, topk_presort
 from sst_tpu.models.fsd.sir import SIRLayer
 from sst_tpu.models.layers import MLP
@@ -233,6 +234,11 @@ class GroupCorrectionHead(nn.Module):
     loss_cls_weight: float = 1.0
     corner_loss_weight: float = 1.0
     corner_loss_only_car: bool = True
+    # IoUNegPiecewiseSampler (iou_neg_piecewise_sampler.py; configs/fsd
+    # train_cfg.rcnn.sampler): dict(num=256, pos_fraction=0.55,
+    # neg_piece_fractions=(0.8, 0.2), neg_iou_piece_thrs=(0.55, 0.1)).
+    # None keeps every proposal slot (soft weighting only).
+    sampler: dict = None
     bbox_head: dict = None
     dtype: jnp.dtype = jnp.float32
 
@@ -290,6 +296,14 @@ class GroupCorrectionHead(nn.Module):
             proposals, prop_labels, prop_valid, prop_batch,
             gt_boxes, gt_labels, gt_valid,
         )
+        sampled = prop_valid
+        if train and self.sampler is not None:
+            sampled = iou_neg_piecewise_sample(
+                self.make_rng("sampler"), max_iou, is_pos, prop_valid,
+                self.sampler["num"], self.sampler["pos_fraction"],
+                tuple(self.sampler["neg_piece_fractions"]),
+                tuple(self.sampler["neg_iou_piece_thrs"]),
+            )
         cls_score, bbox_pred, nonempty = self.pool_and_forward(
             pts_xyz, pts_feats, pts_valid, pts_batch,
             proposals[:, :7], prop_valid, prop_batch, train,
@@ -298,7 +312,7 @@ class GroupCorrectionHead(nn.Module):
         pos_t = jnp.asarray(self.cls_pos_thr)[jnp.minimum(prop_labels, self.num_classes - 1)]
         neg_t = jnp.asarray(self.cls_neg_thr)[jnp.minimum(prop_labels, self.num_classes - 1)]
         soft = jnp.clip((max_iou - neg_t) / (pos_t - neg_t), 0.0, 1.0)
-        lw = (prop_valid & nonempty).astype(jnp.float32)
+        lw = (sampled & nonempty).astype(jnp.float32)
         lw_sum = jnp.maximum(lw.sum(), 1.0)
         loss_cls = L.binary_cross_entropy_loss(
             cls_score, soft, weight=lw, avg_factor=lw_sum
@@ -313,7 +327,7 @@ class GroupCorrectionHead(nn.Module):
         ct = canonical_gt(proposals[:, :7], matched[:, :7])
         anchors = proposals[:, :7].at[:, :3].set(0.0).at[:, 6].set(0.0)
         targets = delta_encode(anchors, ct)
-        rw = (is_pos & nonempty).astype(jnp.float32)
+        rw = (is_pos & sampled & nonempty).astype(jnp.float32)
         rw_sum = jnp.maximum(rw.sum(), 1.0)
         loss_bbox = L.l1_loss(bbox_pred, targets, weight=rw, avg_factor=rw_sum) * self.loss_bbox_weight
 

@@ -24,6 +24,7 @@ import numpy as np
 from flax import linen as nn
 from flax import struct
 
+from sst_tpu.core.target_assign import gt_point_class_labels
 from sst_tpu.models.fsd.sir import SIR
 from sst_tpu.models.fsd.sparse_cluster_head import SparseClusterHeadV2
 from sst_tpu.models.fsd.vote_segmentor import VoteSegmentor, seg_targets
@@ -55,6 +56,7 @@ class SingleStageFSD(nn.Module):
     connected_dist: tuple = (0.6, 0.1, 0.4)
     min_points: int = 2
     pre_voxelization_size: tuple | None = (0.1, 0.1, 0.1)
+    add_gt_fg_points: bool = False  # train_cfg add_gt_fg_points (:776-796)
     caps: FSDCaps = struct.field(default_factory=FSDCaps)
     segmentor: dict = struct.field(default_factory=dict)
     backbone: dict = struct.field(default_factory=dict)
@@ -106,6 +108,8 @@ class SingleStageFSD(nn.Module):
         cap = self.caps.fg_per_class[cls]
         scores = jax.nn.sigmoid(data["seg_logits"][:, cls])
         fg = data["valid"] & (scores > self.score_thresh[cls] + thr_extra)
+        if data.get("gt_point_labels") is not None:
+            fg = fg | (data["valid"] & (data["gt_point_labels"] == cls))
         idx, sel_valid = topk_compact(scores, fg, cap)
         pts = data["seg_points"][idx]
         offsets = data["offsets"][idx].reshape(-1, self.num_classes, 3)[:, cls]
@@ -235,6 +239,13 @@ class SingleStageFSD(nn.Module):
             data["offsets"] = jax.lax.stop_gradient(data["offsets"])
         if self.pre_voxelization_size is not None:
             data = self.pre_voxelize(data, b)
+        if train and self.add_gt_fg_points:
+            # recover segmentation misses inside gt boxes (single_stage_fsd
+            # .py:776-796), computed on the (possibly pre-voxelized) points
+            data["gt_point_labels"] = gt_point_class_labels(
+                data["seg_points"][:, :3], data["batch_idx"], data["valid"],
+                batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+            )
         ex = self.extract(data, b, train, thr_extra)
         outs = self.head_mod(ex["cluster_feats"], ex["cluster_valid"], train)
         return {"seg_out": seg_out, "data": data, "ex": ex, "outs": outs,

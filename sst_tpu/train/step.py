@@ -44,7 +44,7 @@ def train_step(model, state: TrainState, batch, rng,
         out, mut = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch, train=True, method=model.loss,
-            rngs={"shuffle": rng, "seeds": rng},
+            rngs={"shuffle": rng, "seeds": rng, "sampler": rng},
             mutable=["batch_stats"],
             **(loss_kwargs or {}),
         )
