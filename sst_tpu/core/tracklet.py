@@ -52,6 +52,147 @@ class LiDARTracklet:
         boxes[:, :3] -= ctr
         return dataclasses.replace(self, boxes=boxes), ctr
 
+    def to_ego(self, poses: dict) -> "LiDARTracklet":
+        """World-frame boxes → each frame's own ego frame (the inverse of
+        to_world; lidar_tracklet.py:450 shared2ego)."""
+        from sst_tpu.data.incremental_dataset import box_frame_transform_np
+
+        eye = np.eye(4, dtype=np.float64)
+        out = []
+        for ts, box in zip(self.timestamps, self.boxes):
+            inv = np.linalg.inv(np.asarray(poses[ts], np.float64))
+            out.append(box_frame_transform_np(box[None], eye, inv)[0])
+        return dataclasses.replace(self, boxes=np.stack(out))
+
+    # ----------------------------------------------------- velocity/extension
+
+    def velocity(self) -> np.ndarray:
+        """[F, 3] forward-difference center velocity (m/s), first row
+        duplicated (lidar_tracklet.py:633 set_velocity). Boxes must be in a
+        shared (world) frame."""
+        if len(self) <= 1:
+            return np.zeros((len(self), 3), np.float32)
+        t = (np.asarray(self.timestamps, np.float64)
+             - self.timestamps[0]) / 1e6
+        d = np.diff(self.boxes[:, :3], axis=0) / np.maximum(
+            np.diff(t)[:, None], 1e-6)
+        return np.concatenate([d[:1], d], 0).astype(np.float32)
+
+    def _extrapolate(self, anchor_i, target_ts, velo, score_multiplier):
+        t0 = self.timestamps[anchor_i] / 1e6
+        boxes, scores = [], []
+        for k, ts in enumerate(target_ts):
+            b = self.boxes[anchor_i].copy()
+            b[:2] += velo[:2] * (ts / 1e6 - t0)
+            boxes.append(b)
+            scores.append(self.scores[anchor_i] * score_multiplier ** (k + 1))
+        return boxes, scores
+
+    def extend(self, length: int, direction: str, full_ts_list, min_length: int,
+               score_multiplier: float = 0.9, velo_window_size: int = 10):
+        """Constant-velocity track extension in a shared world frame
+        (lidar_tracklet.py:664): prepend up to `length` extrapolated boxes at
+        the timestamps preceding the track, scores decayed geometrically."""
+        assert direction == "backward", "reference implements backward only"
+        if len(self) < min_length:
+            return self
+        idx = full_ts_list.index(self.timestamps[0])
+        length = min(length, idx)
+        if length <= 0:
+            return self
+        if (self.timestamps[1] - self.timestamps[0]) / 1e6 > 0.5:
+            return self  # gap at track start → velocity estimate unusable
+        velo = self.velocity()[:velo_window_size].mean(0)
+        target = full_ts_list[idx - length: idx]
+        boxes, scores = self._extrapolate(0, target, velo, score_multiplier)
+        return dataclasses.replace(
+            self,
+            timestamps=list(target) + list(self.timestamps),
+            boxes=np.concatenate([np.stack(boxes), self.boxes]),
+            scores=np.concatenate([np.asarray(scores, np.float32),
+                                   self.scores]),
+        )
+
+    def extend_all(self, full_ts_list, min_length: int,
+                   score_multiplier: float = 0.9, velo_window_size: int = 10):
+        """Extend to every timestamp of the sequence, backward from the first
+        box and forward from the last (lidar_tracklet.py:714)."""
+        if len(self) < min_length:
+            return self
+        out = self
+        left = full_ts_list.index(self.timestamps[0])
+        if left > 0 and (self.timestamps[1] - self.timestamps[0]) / 1e6 <= 0.5:
+            out = out.extend(left, "backward", full_ts_list, min_length,
+                             score_multiplier, velo_window_size)
+        right = full_ts_list.index(self.timestamps[-1]) + 1
+        n_fwd = len(full_ts_list) - right
+        if n_fwd > 0:
+            velo = self.velocity()[-velo_window_size:].mean(0)
+            target = full_ts_list[right:]
+            boxes, scores = self._extrapolate(
+                len(self) - 1, target, velo, score_multiplier)
+            # note anchor index refers to the ORIGINAL track; splice onto out
+            out = dataclasses.replace(
+                out,
+                timestamps=list(out.timestamps) + list(target),
+                boxes=np.concatenate([out.boxes, np.stack(boxes)]),
+                scores=np.concatenate([out.scores,
+                                       np.asarray(scores, np.float32)]),
+            )
+        return out
+
+    # ------------------------------------------------------- frame selection
+
+    def slice(self, beg: int, end: int) -> "LiDARTracklet":
+        return dataclasses.replace(
+            self, timestamps=list(self.timestamps[beg:end]),
+            boxes=self.boxes[beg:end], scores=self.scores[beg:end],
+        )
+
+    def remove(self, ts_list) -> "LiDARTracklet":
+        keep = [i for i, t in enumerate(self.timestamps) if t not in set(ts_list)]
+        return dataclasses.replace(
+            self, timestamps=[self.timestamps[i] for i in keep],
+            boxes=self.boxes[keep], scores=self.scores[keep],
+        )
+
+    def random_frame_drop(self, drop_rate: float, rng) -> "LiDARTracklet":
+        """Training aug (lidar_tracklet.py:120): drop a random contiguous-free
+        subset of frames, always keeping at least one."""
+        if len(self) <= 1:
+            return self
+        keep = rng.rand(len(self)) >= drop_rate
+        if not keep.any():
+            keep[rng.randint(len(self))] = True
+        idx = np.flatnonzero(keep)
+        return dataclasses.replace(
+            self, timestamps=[self.timestamps[i] for i in idx],
+            boxes=self.boxes[idx], scores=self.scores[idx],
+        )
+
+    def ts_intersection(self, other: "LiDARTracklet"):
+        return sorted(set(self.timestamps) & set(other.timestamps))
+
+    # -------------------------------------------------------------- TTA noise
+
+    def add_center_noise(self, max_noise: float, rng, consistent=False):
+        n = (rng.rand(1 if consistent else len(self), 3) * 2 - 1) * max_noise
+        boxes = self.boxes.copy()
+        boxes[:, :3] += n
+        return dataclasses.replace(self, boxes=boxes)
+
+    def add_size_noise(self, max_noise: float, rng, consistent=False):
+        n = (rng.rand(1 if consistent else len(self), 3) * 2 - 1) * max_noise
+        boxes = self.boxes.copy()
+        boxes[:, 3:6] = np.maximum(boxes[:, 3:6] + n, 0.1)
+        return dataclasses.replace(self, boxes=boxes)
+
+    def add_yaw_noise(self, max_noise: float, rng, consistent=False):
+        n = (rng.rand(1 if consistent else len(self)) * 2 - 1) * max_noise
+        boxes = self.boxes.copy()
+        boxes[:, 6] += n
+        return dataclasses.replace(self, boxes=boxes)
+
     # ---------------------------------------------------------- (de)serialize
 
     @staticmethod

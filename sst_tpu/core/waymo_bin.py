@@ -16,7 +16,7 @@ Field numbers follow the public protos:
                  Objects: objects=1 (repeated Object)
   label.proto    Label:   box=1 (Box), type=3 (enum)
                  Label.Box: center_x=1, center_y=2, center_z=3 (double),
-                 width=4, length=5, height=6, heading=7 (double)
+                 length=4, width=5, height=6, heading=7 (double)
 
 If `waymo_open_dataset` is importable, it is preferred automatically.
 """
@@ -88,9 +88,11 @@ def encode_object(box7, score: float, class_name: str, context_name: str,
     [x, y, z_bottom, w, l, h, yaw]. obj_id populates Label.id (field 4) for
     tracking bins."""
     x, y, z, w, l, h, yaw = (float(v) for v in box7[:7])
+    # official label.proto field order: length=4, width=5 (lidar row keeps
+    # [w, l]; swapping here, not in the row, keeps mmdet3d v0.15 parity)
     box = (
         _double(1, x) + _double(2, y) + _double(3, z + h / 2)
-        + _double(4, w) + _double(5, l) + _double(6, h)
+        + _double(4, l) + _double(5, w) + _double(6, h)
         + _double(7, lidar_to_waymo_heading(yaw))
     )
     label = _bytes(1, box) + _int64(3, K2W_CLS_MAP.get(class_name, TYPE_UNKNOWN))
@@ -226,8 +228,8 @@ def read_waymo_bin(path: str):
 
 
 def _parse_box(buf):
-    names = {1: "center_x", 2: "center_y", 3: "center_z", 4: "width",
-             5: "length", 6: "height", 7: "heading"}
+    names = {1: "center_x", 2: "center_y", 3: "center_z", 4: "length",
+             5: "width", 6: "height", 7: "heading"}
     for f, w, v in _parse_fields(buf):
         if f in names:
             yield names[f], v
@@ -244,3 +246,29 @@ def waymo_box_to_lidar(box: dict) -> np.ndarray:
         [box["center_x"], box["center_y"], box["center_z"] - box["height"] / 2,
          box["width"], box["length"], box["height"], yaw], np.float32,
     )
+
+
+def read_bin_as_frames(path: str):
+    """Decode an Objects bin into per-frame prediction/gt dicts keyed by
+    (context_name, timestamp): {'boxes' [N,7] lidar, 'scores', 'labels'
+    (0 veh / 1 ped / 2 cyc), 'obj_ids'} — the input format of
+    core.eval_waymo.waymo_eval."""
+    type2label = {1: 0, 2: 1, 4: 2}
+    frames: dict = {}
+    for o in read_waymo_bin(path):
+        key = (o["context_name"], o["timestamp_micros"])
+        fr = frames.setdefault(
+            key, dict(boxes=[], scores=[], labels=[], obj_ids=[]))
+        fr["boxes"].append(waymo_box_to_lidar(o["box"]))
+        fr["scores"].append(o.get("score", 0.0))
+        fr["labels"].append(type2label.get(int(o.get("type", 1)), 0))
+        fr["obj_ids"].append(o.get("id", ""))
+    out = {}
+    for key, fr in frames.items():
+        out[key] = dict(
+            boxes=np.stack(fr["boxes"]) if fr["boxes"] else np.zeros((0, 7)),
+            scores=np.asarray(fr["scores"], np.float32),
+            labels=np.asarray(fr["labels"], np.int32),
+            obj_ids=fr["obj_ids"],
+        )
+    return out

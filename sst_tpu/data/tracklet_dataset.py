@@ -127,6 +127,76 @@ class WaymoTrackletDataset:
         return out
 
 
+    # ------------------------------------------------------------ evaluation
+
+    def format_results(self, results, out_path: str):
+        """Refined per-tracklet boxes → WOD Objects bin with track ids
+        (reference waymo_tracklet_dataset.py:394-451 format_results).
+
+        results[i] aligns with tracklet i: dict with 'boxes' [F,7] in the
+        track-centric frame (see __getitem__), 'scores' [F], 'valid' [F],
+        optional 'track_center' [3] (defaults to the same median used when
+        the sample was built)."""
+        from sst_tpu.core.tracklet import LiDARTracklet, tracklets_to_bin
+
+        refined = []
+        for i, r in enumerate(results):
+            trk = self.tracklets[i]
+            n = min(len(trk), self.max_frames)
+            boxes = np.asarray(r["boxes"], np.float32)[:n].copy()
+            scores = np.asarray(r["scores"], np.float32)[:n]
+            valid = np.asarray(r.get("valid", np.ones(n, bool)))[:n]
+            ctr = np.asarray(
+                r.get("track_center", np.median(trk.boxes[:n, :3], axis=0)),
+                np.float32,
+            )
+            boxes[:, :3] += ctr  # back to world
+            keep = np.flatnonzero(valid)
+            if len(keep) == 0:
+                continue
+            world = type(trk)(
+                context_name=trk.context_name, obj_id=trk.obj_id,
+                type_id=trk.type_id,
+                timestamps=[trk.timestamps[j] for j in keep],
+                boxes=boxes[keep], scores=scores[keep],
+            )
+            poses = self.poses[trk.context_name]
+            refined.append(world.to_ego(poses))
+        tracklets_to_bin(refined, out_path)
+        return refined
+
+    def evaluate(self, results, out_path: str, gt_bin: str | None = None,
+                 metric: str = "waymo"):
+        """Write the refined-tracklet bin and, when a gt bin is given, score
+        it (official compute_detection_metrics_main when on PATH, else the
+        in-repo mAP/mAPH protocol) — reference
+        waymo_tracklet_dataset.py:298-392 evaluate."""
+        self.format_results(results, out_path)
+        if gt_bin is None:
+            return {"bin_path": out_path}
+        from sst_tpu.core.eval_waymo import waymo_eval
+        from sst_tpu.core.waymo_bin import read_bin_as_frames
+
+        import shutil
+        import subprocess
+
+        binary = shutil.which("compute_detection_metrics_main")
+        if binary and metric == "waymo":
+            proc = subprocess.run([binary, out_path, gt_bin],
+                                  capture_output=True, text=True)
+            return {"bin_path": out_path, "official": proc.stdout}
+        preds_by_key = read_bin_as_frames(out_path)
+        gts_by_key = read_bin_as_frames(gt_bin)
+        keys = sorted(gts_by_key)
+        preds = [preds_by_key.get(
+            k, dict(boxes=np.zeros((0, 7)), scores=np.zeros(0),
+                    labels=np.zeros(0, np.int32))) for k in keys]
+        gts = [gts_by_key[k] for k in keys]
+        res = waymo_eval(preds, gts, classes=list(self.CLASSES))
+        res["bin_path"] = out_path
+        return res
+
+
 def collate_tracklets(samples):
     """Stack padded tracklet samples into a TrackletBatch."""
     import jax.numpy as jnp
