@@ -128,3 +128,17 @@ def nearest_iou(boxes_a, boxes_b, eps: float = 1e-6):
     area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
     area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
     return inter / jnp.maximum(area_a + area_b - inter, eps)
+
+
+def boxes_overlap_1to1(boxes_a, boxes_b, mode: str = "iou", eps: float = 1e-6):
+    """Row-paired rotated BEV overlap, [N] (TorchEx boxes_overlap_1to1 —
+    FSD++ matches previous seeds to current detections with it,
+    two_stage_fsdpp.py:918)."""
+    ca = bev_corners(bev(boxes_a)).astype(jnp.float32)
+    cb = bev_corners(bev(boxes_b)).astype(jnp.float32)
+    inter = rect_intersection_area(ca, cb)
+    area_a = boxes_a[:, 3] * boxes_a[:, 4]
+    area_b = boxes_b[:, 3] * boxes_b[:, 4]
+    if mode == "iof":
+        return inter / jnp.maximum(area_a, eps)
+    return inter / jnp.maximum(area_a + area_b - inter, eps)

@@ -129,7 +129,12 @@ def weighted_nms_bev(boxes, scores, valid, thr_lo: float, thr_hi: float,
     yaw = jnp.arctan2(merged[:, 6], merged[:, 7])
     out = jnp.concatenate([merged[:, :6], yaw[:, None]], -1)
     out = jnp.where(keep[:, None], out, boxes[:, :7])
-    return out, scores, keep
+    # re-score: score-weighted mean of member scores (RangeDet wnms_4c
+    # returns the merged det's own confidence; the round-1 version passed
+    # the pre-merge scores through)
+    mscores = (w @ scores) / wsum[:, 0]
+    mscores = jnp.where(keep, mscores, scores)
+    return out, mscores, keep
 
 
 def topk_presort(scores, valid, k: int):
@@ -176,7 +181,7 @@ def box3d_multiclass_nms(
         cand_scores = s[idx]
         if use_wnms:
             # weighted NMS (box3d_multiclass_wnms, box3d_nms.py:145)
-            cand7, _, keep = weighted_nms_bev(
+            cand7, cand_scores, keep = weighted_nms_bev(
                 cand_boxes[:, :7], cand_scores, sel_valid,
                 thr_lo=wnms_thr_lo, thr_hi=wnms_thr_hi,
                 use_rotate_nms=use_rotate_nms,

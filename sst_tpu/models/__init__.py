@@ -18,7 +18,8 @@ from sst_tpu.models.heads.center_head import CenterHead
 from sst_tpu.models.second import SECOND, SECONDFPN
 from sst_tpu.models.sst import SSTv2
 from sst_tpu.models.sst_input import SSTPlan, sst_input_layer
-from sst_tpu.models.vfe import DynamicVFE, HardSimpleVFE, PillarFeatureNet
+from sst_tpu.models.vfe import (DynamicPillarFeatureNet, DynamicVFE,
+                                HardSimpleVFE, PillarFeatureNet)
 from sst_tpu.utils.registry import MODELS
 
 for _cls in (DynamicVoxelNet, Anchor3DHead, CenterHead, SECOND, SECONDFPN,

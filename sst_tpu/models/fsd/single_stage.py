@@ -57,6 +57,12 @@ class SingleStageFSD(nn.Module):
     min_points: int = 2
     pre_voxelization_size: tuple | None = (0.1, 0.1, 0.1)
     add_gt_fg_points: bool = False  # train_cfg add_gt_fg_points (:776-796)
+    # HybridAssigner (single_stage_fsd.py:1104): per-class choice between
+    # CCL clustering ("ccl", the ClusterAssigner default) and key-point
+    # assignment ("ssg", SSGAssigner :1002). None -> all "ccl".
+    assigner_per_class: tuple | None = None
+    ssg_radius: tuple = (1.0, 0.4, 0.6)
+    ssg_num_fps: tuple = (256, 256, 256)
     caps: FSDCaps = struct.field(default_factory=FSDCaps)
     segmentor: dict = struct.field(default_factory=dict)
     backbone: dict = struct.field(default_factory=dict)
@@ -167,6 +173,58 @@ class SingleStageFSD(nn.Module):
         pt_valid = pt_valid & (pt_cluster < ccap)
         return pt_cluster, pt_valid
 
+    def ssg_class(self, sample: dict, cls: int, batch_size: int):
+        """SSGAssigner (single_stage_fsd.py:1002): voxelize vote centers, FPS
+        key points, drop any key point within 2·radius of an earlier one,
+        then assign each voxel to the (unique) key point within radius.
+        Same (per-point cluster slot, validity) contract as cluster_class."""
+        from sst_tpu.ops.fps import furthest_point_sample
+
+        vcap = self.caps.cluster_voxels_per_class[cls]
+        ccap = self.caps.clusters_per_class[cls]
+        radius = self.ssg_radius[cls]
+        vsize = jnp.asarray(self.cluster_voxel_size[cls], jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
+        centers = sample["centers"]
+        c = jnp.floor((centers - pcr[None, :3]) / vsize[None]).astype(jnp.int32)
+        nx = int(round((self.point_cloud_range[3] - self.point_cloud_range[0])
+                       / self.cluster_voxel_size[cls][0])) + 2
+        ny = int(round((self.point_cloud_range[4] - self.point_cloud_range[1])
+                       / self.cluster_voxel_size[cls][1])) + 2
+        cx = jnp.clip(c[:, 0], 0, nx - 1)
+        cy = jnp.clip(c[:, 1], 0, ny - 1)
+        key = (sample["batch_idx"] * ny + cy) * nx + cx
+        uniq = unique_segments(key, sample["valid"], vcap)
+        vox_valid = uniq.unique_keys != jnp.iinfo(jnp.int32).max
+        vox_centers = segment_reduce(centers, uniq.seg_ids, vcap, "mean")
+        vox_batch = segment_reduce(
+            sample["batch_idx"].astype(jnp.float32), uniq.seg_ids, vcap, "max"
+        ).astype(jnp.int32)
+
+        # batch-offset x so FPS spread / radius tests never cross samples
+        off = vox_batch.astype(jnp.float32) * 1e4
+        xy = jnp.stack([vox_centers[:, 0] + off, vox_centers[:, 1],
+                        jnp.zeros_like(off)], -1)
+        k = min(int(self.ssg_num_fps[cls]), ccap)
+        kidx, kok = furthest_point_sample(xy, vox_valid, k)
+        kp = xy[kidx, :2]  # [K, 2]
+        # suppress key points within 2r of an EARLIER key point (:1066-1073)
+        kd = jnp.linalg.norm(kp[:, None] - kp[None, :], axis=-1)
+        earlier = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]) & \
+            kok[:, None] & kok[None, :]
+        kvalid = kok & ~((kd < 2 * radius + 0.01) & earlier).any(axis=0)
+
+        dmat = jnp.linalg.norm(xy[:, None, :2] - kp[None, :, :], axis=-1)
+        dmat = jnp.where(kvalid[None, :], dmat, jnp.inf)
+        nearest = jnp.argmin(dmat, axis=1).astype(jnp.int32)
+        assigned = vox_valid & (jnp.min(dmat, axis=1) < radius)
+        vox_cluster = jnp.where(assigned, nearest, ccap)
+        pt_cluster = jnp.where(
+            sample["valid"],
+            vox_cluster[jnp.minimum(uniq.seg_ids, vcap - 1)], ccap,
+        )
+        return pt_cluster, sample["valid"] & (pt_cluster < ccap)
+
     def extract(self, data: dict, batch_size: int, train: bool,
                 thr_extra: float = 0.0):
         """sample → cluster → SIR for all classes. Returns cluster-level and
@@ -176,7 +234,9 @@ class SingleStageFSD(nn.Module):
         offset = 0
         for cls in range(self.num_classes):
             s = self.sample_class(data, cls, thr_extra)
-            pc, pv = self.cluster_class(s, cls, batch_size)
+            kind = (self.assigner_per_class or ("ccl",) * self.num_classes)[cls]
+            assign = self.ssg_class if kind == "ssg" else self.cluster_class
+            pc, pv = assign(s, cls, batch_size)
             ccap = self.caps.clusters_per_class[cls]
             seg = jnp.where(pv, pc + offset, total_clusters)
             streams.append((s, seg, pv))

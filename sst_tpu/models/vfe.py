@@ -139,3 +139,12 @@ class DynamicVFE(nn.Module):
         if self.return_point_feats:
             return point_feats
         return jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)
+
+
+class DynamicPillarFeatureNet(DynamicVFE):
+    """Dynamic (scatter-based) PillarFeatureNet — reference
+    pillar_encoder.py:121 DynamicPillarFeatureNet. Identical computation to
+    DynamicVFE over full-height pillars: per-point decoration with cluster
+    and pillar-center offsets, PFN layers, segment max-pool. Configure
+    ``voxel_size`` with a z extent covering the full point-cloud range so
+    the grid degenerates to pillars."""

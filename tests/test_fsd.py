@@ -220,3 +220,19 @@ def test_fsd_two_stage_no_valid_gt(fsd2_setup):
     )
     for k, v in out.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_hybrid_assigner_ssg_path():
+    """SSGAssigner/HybridAssigner (single_stage_fsd.py:1002,:1104): per-class
+    dispatch between CCL and FPS-keypoint assignment trains end to end."""
+    model = tiny_fsd().clone(
+        assigner_per_class=("ccl", "ssg", "ssg"),
+        ssg_radius=(1.0, 0.5, 0.5), ssg_num_fps=(16, 16, 16),
+    )
+    batch = make_batch(np.random.RandomState(9))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out, _ = model.apply(variables, batch, train=True, method=model.loss,
+                         mutable=["batch_stats"])
+    assert np.isfinite(float(sum(v for k, v in out.items()
+                                 if k.startswith("loss"))))
+    assert float(out["num_clusters"]) > 0

@@ -90,3 +90,45 @@ def test_timer():
     with t("phase"):
         x = sum(range(1000))
     assert "phase" in t.summary()
+
+
+def test_boxes_overlap_1to1():
+    import jax.numpy as jnp
+
+    from sst_tpu.core.iou import boxes_iou_bev, boxes_overlap_1to1
+
+    rng = np.random.RandomState(0)
+    boxes = np.concatenate([
+        rng.uniform(-5, 5, (16, 2)), np.zeros((16, 1)),
+        rng.uniform(1, 4, (16, 3)), rng.uniform(-3, 3, (16, 1)),
+    ], -1).astype(np.float32)
+    shifted = boxes.copy()
+    shifted[:, 0] += 0.5
+    paired = np.asarray(boxes_overlap_1to1(jnp.asarray(boxes),
+                                           jnp.asarray(shifted)))
+    full = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(shifted)))
+    np.testing.assert_allclose(paired, np.diag(full), atol=1e-5)
+
+
+def test_roiaware_pool3d():
+    import jax.numpy as jnp
+
+    from sst_tpu.ops.roiaware import roiaware_pool3d
+
+    # one axis-aligned roi; points in two known sub-voxels
+    rois = jnp.asarray([[0.0, 0.0, -1.0, 2.0, 4.0, 2.0, 0.0]])
+    pts = jnp.asarray([
+        [-0.6, -1.5, -0.9],   # low corner-ish cell
+        [0.6, 1.5, 0.7],      # high corner-ish cell
+        [0.6, 1.5, 0.8],      # same cell, bigger feature
+    ])
+    feats = jnp.asarray([[1.0], [2.0], [5.0]])
+    out = np.asarray(roiaware_pool3d(
+        pts, feats, jnp.ones(3, bool), jnp.zeros(3, jnp.int32),
+        rois, jnp.ones(1, bool), jnp.zeros(1, jnp.int32),
+        out_size=(2, 2, 2), mode="max", max_inbox_point=8,
+    ))
+    assert out.shape == (1, 2, 2, 2, 1)
+    assert out[0, 0, 0, 0, 0] == 1.0
+    assert out[0, 1, 1, 1, 0] == 5.0  # max of the two co-located points
+    assert out.sum() == 6.0  # everything else empty → zero
