@@ -132,3 +132,35 @@ def test_roiaware_pool3d():
     assert out[0, 0, 0, 0, 0] == 1.0
     assert out[0, 1, 1, 1, 0] == 5.0  # max of the two co-located points
     assert out.sum() == 6.0  # everything else empty → zero
+
+
+def test_tta_predict_inverse_consistency():
+    """Each augmented view 'detects' the same physical object (derived from
+    the augmented points); after inversion + merge, all views must agree on
+    one box at the original location."""
+    import jax
+    import jax.numpy as jnp
+
+    from sst_tpu.flagship import tiny_batch
+    from sst_tpu.models.tta import tta_predict
+
+    base = tiny_batch(batch_size=1, num_points=64)
+
+    def fake_predict(batch):
+        ctr = (batch.points * batch.valid[..., None]).sum(1) / \
+            batch.valid.sum(1)[:, None]
+        box = jnp.concatenate(
+            [ctr[:, :2], jnp.full((1, 1), -0.5), jnp.asarray([[2., 4., 1.5]]),
+             jnp.full((1, 1), 0.3)], -1)
+        return dict(boxes=box[:, None, :], scores=jnp.ones((1, 1)),
+                    labels=jnp.zeros((1, 1), jnp.int32),
+                    valid=jnp.ones((1, 1), bool))
+
+    plain = np.asarray(fake_predict(base)["boxes"][0, 0])
+    out = tta_predict(fake_predict, base, flips=("none", "x", "y", "xy"),
+                      angles=(0.0, 0.5), max_num=8, wnms_thr_hi=0.5)
+    v = np.asarray(out["valid"][0])
+    boxes = np.asarray(out["boxes"][0])[v]
+    # every view maps back to the same box → weighted NMS merges into one
+    assert v.sum() == 1, boxes
+    np.testing.assert_allclose(boxes[0][:6], plain[:6], atol=1e-4)

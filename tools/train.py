@@ -143,6 +143,16 @@ def main():
         aug_sched = DisableAugmentationSchedule(**cfg["disable_aug_schedule"])
 
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    # TensorBoard scalars next to the jsonl (reference default_runtime.py:5-11
+    # TensorboardLoggerHook); flax's writer needs tensorflow, so it is
+    # optional — the jsonl stays the source of truth.
+    tb = None
+    try:
+        from flax.metrics import tensorboard as _tbmod
+
+        tb = _tbmod.SummaryWriter(os.path.join(args.work_dir, "tb"))
+    except Exception as e:  # pragma: no cover - tf not installed
+        print(f"tensorboard writer disabled: {e!r}", flush=True)
 
     step = int(state.step)
     t0 = time.time()
@@ -166,6 +176,10 @@ def main():
                     m["wall"] = round(time.time() - t0, 1)
                     logf.write(json.dumps(m) + "\n")
                     logf.flush()
+                    if tb is not None:
+                        for k, v in m.items():
+                            if k not in ("step", "wall"):
+                                tb.scalar(k, v, step)
                     print(
                         f"step {step}/{total_steps} "
                         f"loss={m['loss_total']:.4f} ({m['wall']}s)",
