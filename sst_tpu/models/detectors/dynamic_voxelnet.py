@@ -58,6 +58,7 @@ class DynamicVoxelNet(nn.Module):
     neck: dict = struct.field(default_factory=dict)
     head: dict = struct.field(default_factory=dict)
     head_type: str = "anchor"  # 'anchor' (Anchor3DHead) | 'center' (CenterHead)
+    backbone_type: str = "sstv2"  # 'sstv2' | 'sstv1' (v1 conv defaults)
     shuffle_voxels: bool = True
     test_cfg: dict = struct.field(
         default_factory=lambda: dict(
@@ -79,7 +80,12 @@ class DynamicVoxelNet(nn.Module):
         )
         bb = dict(output_shape=self.bev_shape)
         bb.update(self.backbone)
-        self.backbone_mod = SSTv2(dtype=self.dtype, **bb)
+        if self.backbone_type == "sstv1":
+            from sst_tpu.models.sst import SSTv1
+
+            self.backbone_mod = SSTv1(dtype=self.dtype, **bb)
+        else:
+            self.backbone_mod = SSTv2(dtype=self.dtype, **bb)
         self.neck_mod = SECONDFPN(dtype=self.dtype, **self.neck)
         if self.head_type == "center":
             from sst_tpu.models.heads.center_head import CenterHead

@@ -223,3 +223,24 @@ class SSTv2(nn.Module):
             else:
                 bev = out
         return bev, valid
+
+
+class SSTv1(SSTv2):
+    """SSTv1 (backbones/sst_v1.py:18) — the first-release backbone used by the
+    reference's sst_waymoD5_1x_3class_{8,12}heads.py configs.
+
+    Under the static-shape window plan the v1 and v2 forward paths coincide:
+    v1's 2D in-window position embedding (sst_v1.py:225-258) is exactly what
+    :func:`sinusoidal_window_pos` emits for 2D window shapes, v1's per-layer
+    flat2window/window2flat (sst_basic_block.py) is the same SSTPlan reuse,
+    and v1's key-padding masks are the plan's bucket masks. Only the defaults
+    differ (two dilation-2 attached convs, conv_kwargs of sst_v1.py:52) —
+    expressed as dataclass defaults so ``type='SSTv1'`` configs build the v1
+    topology.
+    """
+
+    num_attached_conv: int = 2
+    conv_kwargs: tuple = (
+        {"kernel_size": 3, "dilation": 2},
+        {"kernel_size": 3, "dilation": 2},
+    )

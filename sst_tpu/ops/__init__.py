@@ -23,6 +23,15 @@ from sst_tpu.ops.incremental import (
     points_frame_transform,
 )
 from sst_tpu.ops.pallas_attention import window_mha
+from sst_tpu.ops.pointnet import (
+    ball_query,
+    gather_points,
+    grouping_operation,
+    knn,
+    query_and_group,
+    three_interpolate,
+    three_nn,
+)
 from sst_tpu.ops.window import (
     BucketSpec,
     FlatToWindow,

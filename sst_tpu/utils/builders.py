@@ -62,8 +62,20 @@ def _convert_caps(kwargs: dict):
 
 def build_model_from_cfg(cfg: dict, train: bool = True):
     """Build a detector from a loaded config dict (model + capacity +
-    region_batching_{train,test} keys)."""
+    region_batching_{train,test} keys).
+
+    A ``model.dtype`` string ('bfloat16' | 'float32') selects the compute
+    policy — the TPU analog of the reference's fp16 runtime flag
+    (configs/sst/*.py ``fp16 = dict(loss_scale=32.0)``); bf16 needs no loss
+    scaling, so the single dtype knob is the whole policy."""
     model_cfg = _convert_caps(_tuplify(dict(cfg["model"])))
+    if isinstance(model_cfg.get("dtype"), str):
+        import jax.numpy as jnp
+
+        model_cfg["dtype"] = {
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "fp32": jnp.float32,
+        }[model_cfg["dtype"]]
     cap = cfg.get("capacity", {})
     rb_key = "region_batching_train" if train else "region_batching_test"
     kwargs = dict(model_cfg)
