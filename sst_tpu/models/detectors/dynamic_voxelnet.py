@@ -97,7 +97,10 @@ class DynamicVoxelNet(nn.Module):
         else:
             self.head_mod = Anchor3DHead(dtype=self.dtype, **self.head)
 
-    def extract_feat(self, batch: PointBatch, train: bool):
+    def extract_feat(self, batch: PointBatch, train: bool, diag: dict | None = None):
+        """diag, if given, is filled with capacity-overflow observables:
+        static caps (max_voxels, window caps) silently drop work when
+        exceeded, so training logs must surface the drop counts."""
         b, p, _ = batch.points.shape
         pts = batch.points.reshape(b * p, -1)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
@@ -122,23 +125,38 @@ class DynamicVoxelNet(nn.Module):
         )
         bev, _ = self.backbone_mod(voxel_feats, vm.voxel_coords, plan, b, train)
         feats = self.neck_mod(bev, train)
+        if diag is not None:
+            f32 = jnp.float32
+            diag["num_voxels"] = vm.voxel_valid.sum().astype(f32)
+            # points whose voxel fell past the max_voxels cap (dropped)
+            diag["num_voxel_overflow_points"] = (
+                vm.valid & (vm.unique.seg_ids >= self.max_voxels)
+            ).sum().astype(f32)
+            # voxels lost to window drop-ranges or window-capacity overflow
+            diag["num_window_dropped_voxels"] = (
+                vm.voxel_valid & ~plan.valid
+            ).sum().astype(f32)
         return feats
 
-    def __call__(self, batch: PointBatch, train: bool = False):
-        feats = self.extract_feat(batch, train)
+    def __call__(self, batch: PointBatch, train: bool = False, diag: dict | None = None):
+        feats = self.extract_feat(batch, train, diag)
         return self.head_mod(feats, train)
 
     def loss(self, batch: PointBatch, train: bool = True):
-        preds = self(batch, train)
+        diag: dict = {}
+        preds = self(batch, train, diag)
         if self.head_type == "center":
-            return self.head_mod.loss(
+            losses = self.head_mod.loss(
                 preds, batch.gt_boxes, batch.gt_labels, batch.gt_valid
             )
-        h, w = preds["cls"].shape[1:3]
-        anchors = self.head_mod.grid_anchors((h, w))
-        return self.head_mod.loss(
-            preds, anchors, batch.gt_boxes, batch.gt_labels, batch.gt_valid
-        )
+        else:
+            h, w = preds["cls"].shape[1:3]
+            anchors = self.head_mod.grid_anchors((h, w))
+            losses = self.head_mod.loss(
+                preds, anchors, batch.gt_boxes, batch.gt_labels, batch.gt_valid
+            )
+        losses.update(diag)
+        return losses
 
     def predict(self, batch: PointBatch):
         preds = self(batch, train=False)

@@ -11,6 +11,13 @@ TPU shape discipline: the multi-frame cloud stays a fixed [B, P, C] array;
 .py:660-737 builds ragged lists instead). Seed preprocessing
 (modify_previous_boxes :763-800: score filter, train-time box noise,
 class-wise enlargement) is mask-based too.
+
+On IncrementalROIHead (roi_heads/incremental_roi_head.py:21): its
+TrajGenerator / TrajFeatureExtractor / TrajFeatureAggregator classes are
+referenced but defined nowhere in the reference repo — the head cannot be
+instantiated upstream (unreleased component). The shipped FSD++ configs run
+the standard GroupCorrectionHead, which is exactly what this detector's
+second stage uses.
 """
 
 from __future__ import annotations

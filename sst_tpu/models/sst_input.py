@@ -18,8 +18,8 @@ from flax import struct
 from sst_tpu.ops.window import (
     BucketSpec,
     FlatToWindow,
-    build_flat2win,
-    drop_and_bucket,
+    drop_pass,
+    finalize_flat2win,
     get_window_coors,
 )
 
@@ -105,12 +105,13 @@ def sst_input_layer(
     win0, ciw0 = get_window_coors(coords_s, sparse_shape, window_shape, False, valid_s)
     win1, ciw1 = get_window_coors(coords_s, sparse_shape, window_shape, True, valid_s)
 
-    keep0, lvl0 = drop_and_bucket(win0, valid_s, buckets, max_total_windows)
-    keep1, lvl1 = drop_and_bucket(win1, keep0, buckets, max_total_windows)
+    # one sort per shift: the drop pass's sort is reused for the scatter plan
+    uniq0, keep0, lvl0 = drop_pass(win0, valid_s, buckets, max_total_windows)
+    uniq1, keep1, lvl1 = drop_pass(win1, keep0, buckets, max_total_windows)
     final = keep0 & keep1
 
-    f2w0 = build_flat2win(win0, ciw0, lvl0, final, buckets)
-    f2w1 = build_flat2win(win1, ciw1, lvl1, final, buckets)
+    f2w0 = finalize_flat2win(uniq0, ciw0, lvl0, final, buckets, max_total_windows)
+    f2w1 = finalize_flat2win(uniq1, ciw1, lvl1, final, buckets, max_total_windows)
 
     pos0 = sinusoidal_window_pos(ciw0, window_shape, d_model, pos_temperature, normalize_pos)
     pos1 = sinusoidal_window_pos(ciw1, window_shape, d_model, pos_temperature, normalize_pos)

@@ -46,6 +46,10 @@ class FlatToWindow:
     valid: jax.Array  # [N] bool — voxel survives in this shift
     coors_in_win: jax.Array  # [N, 3] int32 (z, y, x) within window
     buckets: tuple = struct.field(pytree_node=False)  # tuple[BucketSpec]
+    # per-bucket [max_windows, max_tokens] True-=-masked key padding, computed
+    # once at plan build (window_key_padding falls back to a scatter when
+    # empty, for plans built by the legacy build_flat2win path)
+    pads: tuple = ()
 
 
 def get_window_coors(
@@ -120,6 +124,73 @@ def drop_and_bucket(
     return keep, lvl
 
 
+def drop_pass(
+    win_inds: jax.Array,
+    valid: jax.Array,
+    buckets: Sequence[BucketSpec],
+    max_total_windows: int,
+):
+    """One shift's drop pass, returning its sort for reuse.
+
+    Same semantics as :func:`drop_and_bucket` but also returns the
+    UniqueResult so :func:`finalize_flat2win` can build the scatter plan
+    WITHOUT re-sorting per bucket — profiled at 65k voxels, the per-bucket
+    unique_segments calls in build_flat2win were ~20 ms/frame of pure
+    re-sorting of the same keys.
+    """
+    uniq = unique_segments(win_inds, valid, max_total_windows)
+    counts_per_voxel = uniq.counts[jnp.minimum(uniq.seg_ids, max_total_windows - 1)]
+    counts_per_voxel = jnp.where(valid, counts_per_voxel, 0)
+    lvl, target = assign_drop_levels(counts_per_voxel, buckets)
+    keep = valid & (lvl >= 0) & (uniq.ranks < target) & (uniq.seg_ids < max_total_windows)
+    return uniq, keep, lvl
+
+
+def finalize_flat2win(
+    uniq,
+    coors_in_win: jax.Array,
+    drop_lvl: jax.Array,
+    valid: jax.Array,
+    buckets: Sequence[BucketSpec],
+    max_total_windows: int,
+) -> FlatToWindow:
+    """Scatter plan from a drop_pass sort — no further sorting.
+
+    Windows are numbered within their bucket by ascending window key via a
+    cumsum over the [max_total_windows] window table (the same order the
+    per-bucket unique_segments of :func:`build_flat2win` produces). `valid`
+    may be a subset of the drop-pass mask (the other shift's drops): ranks
+    then have holes, which just leave padded slots — every surviving voxel's
+    rank is already < its bucket's max_tokens.
+    """
+    n = uniq.seg_ids.shape[0]
+    # window-level bucket assignment from per-window token counts
+    wused = uniq.counts > 0
+    wlvl, _ = assign_drop_levels(uniq.counts, buckets)
+    wlvl = jnp.where(wused, wlvl, -1)
+    seg = jnp.minimum(uniq.seg_ids, max_total_windows - 1)
+    flat_inds = jnp.full((n,), OOB, jnp.int32)
+    out_valid = jnp.zeros((n,), jnp.bool_)
+    for i, b in enumerate(buckets):
+        wmask = wlvl == i
+        cw = jnp.cumsum(wmask.astype(jnp.int32)) - 1  # compact id in bucket
+        wok = wmask & (cw < b.max_windows)
+        ok = (
+            valid & (drop_lvl == i) & (uniq.seg_ids < max_total_windows)
+            & wok[seg] & (uniq.ranks < b.max_tokens)
+        )
+        flat_inds = jnp.where(ok, cw[seg] * b.max_tokens + uniq.ranks, flat_inds)
+        out_valid = out_valid | ok
+    f2w = FlatToWindow(
+        drop_lvl=jnp.where(out_valid, drop_lvl, -1),
+        flat_inds=flat_inds,
+        valid=out_valid,
+        coors_in_win=coors_in_win,
+        buckets=tuple(buckets),
+    )
+    return f2w.replace(pads=tuple(window_key_padding(f2w)))
+
+
 def build_flat2win(
     win_inds: jax.Array,
     coors_in_win: jax.Array,
@@ -178,7 +249,11 @@ def window2flat(feat_3d_list, f2w: FlatToWindow) -> jax.Array:
 
 def window_key_padding(f2w: FlatToWindow):
     """True = masked (empty slot), per bucket [max_windows_b, max_tokens_b]
-    (get_key_padding_mask, sst_input_layer_v2.py:308)."""
+    (get_key_padding_mask, sst_input_layer_v2.py:308). Uses the plan's
+    precomputed masks when present (one scatter at plan build instead of one
+    per attention layer)."""
+    if f2w.pads:
+        return list(f2w.pads)
     ones = jnp.ones((f2w.flat_inds.shape[0], 1), jnp.float32)
     dense = flat2window(ones, f2w, padding=0.0)
     return [d[..., 0] < 0.5 for d in dense]

@@ -116,3 +116,54 @@ def test_big_window_gets_dropped_to_cap(rng):
     keep, lvl = drop_and_bucket(win, jnp.asarray(valid), BUCKETS, 64)
     assert int(np.asarray(keep).sum()) == 16
     assert (np.asarray(lvl)[np.asarray(keep)] == 2).all()
+
+
+def test_finalize_flat2win_matches_build_flat2win():
+    """The one-sort plan (drop_pass + finalize_flat2win) must produce the
+    same bucket assignment and slotting as the per-bucket-sort original."""
+    import numpy as np
+    from sst_tpu.ops.window import (build_flat2win, drop_and_bucket, drop_pass,
+                                    finalize_flat2win, flat2window)
+
+    rng = np.random.RandomState(0)
+    n, totw = 512, 64
+    win = jnp.asarray(rng.randint(0, 40, size=(n,)).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+    ciw = jnp.asarray(rng.randint(0, 12, size=(n, 3)).astype(np.int32))
+    buckets = (BucketSpec(8, 0, 8, 16), BucketSpec(16, 8, 16, 8),
+               BucketSpec(24, 16, 100000, 4))
+
+    keep_a, lvl_a = drop_and_bucket(win, valid, buckets, totw)
+    uniq, keep_b, lvl_b = drop_pass(win, valid, buckets, totw)
+    np.testing.assert_array_equal(np.asarray(keep_a), np.asarray(keep_b))
+    np.testing.assert_array_equal(np.asarray(lvl_a * keep_a),
+                                  np.asarray(lvl_b * keep_b))
+
+    # simulate the second-shift intersection with a random sub-mask
+    final = keep_a & jnp.asarray(rng.rand(n) > 0.15)
+    f_old = build_flat2win(win, ciw, lvl_a, final, buckets)
+    f_new = finalize_flat2win(uniq, ciw, lvl_a, final, buckets, totw)
+
+    # Same surviving voxels and same bucket assignment...
+    np.testing.assert_array_equal(np.asarray(f_old.valid), np.asarray(f_new.valid))
+    np.testing.assert_array_equal(np.asarray(f_old.drop_lvl), np.asarray(f_new.drop_lvl))
+    # ...and same window membership (the new path may slot tokens at
+    # different ranks within a window — attention is invariant to that).
+    win_old = np.asarray(f_old.flat_inds) // np.asarray(
+        [buckets[l].max_tokens if l >= 0 else 1 for l in np.asarray(f_old.drop_lvl)])
+    win_new = np.asarray(f_new.flat_inds) // np.asarray(
+        [buckets[l].max_tokens if l >= 0 else 1 for l in np.asarray(f_new.drop_lvl)])
+    v = np.asarray(f_old.valid)
+    np.testing.assert_array_equal(win_old[v], win_new[v])
+
+    # Exact per-voxel round trip through the dense window form in both plans.
+    from sst_tpu.ops.window import window2flat
+
+    feat = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    for f in (f_old, f_new):
+        back = window2flat(flat2window(feat, f), f)
+        np.testing.assert_allclose(np.asarray(back)[v], np.asarray(feat)[v])
+    # pads mark exactly the empty slots: count of real slots matches survivors
+    pads_new = f_new.pads
+    total_real = sum(int((~np.asarray(p)).sum()) for p in pads_new)
+    assert total_real == int(v.sum())
