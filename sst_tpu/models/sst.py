@@ -51,15 +51,20 @@ class WindowAttention(nn.Module):
         # flat projections: [N, C] x [C, 2C] — MXU-friendly
         qk = nn.Dense(2 * self.d_model, dtype=self.dtype, name="qk_proj")(x)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(feat)
-        # ONE wide gather instead of three: row-gather cost on TPU is
-        # per-row-bound, not bandwidth-bound (profiled 165 GB/s at 512 B
-        # rows), so gathering [N, 3C] costs ~1/3 of three [N, C] gathers.
-        qkv_d = flat2window(jnp.concatenate([qk, v], axis=-1), f2w)
-        pads = window_key_padding(f2w)
-        scale = 1.0 / np.sqrt(dh)
         # fused Pallas kernel on TPU (keeps logits/softmax/AV in VMEM;
         # 2-4x faster than the einsum path); cosine mode + CPU use einsum.
         use_pallas = (not self.cosine) and jax.default_backend() == "tpu"
+        # ONE wide gather instead of three: row-gather cost on TPU is
+        # per-row-bound, not bandwidth-bound (profiled 165 GB/s at 512 B
+        # rows), so gathering [N, 3C] costs ~1/3 of three [N, C] gathers.
+        # On the Pallas path the kernel consumes bf16 anyway — cast on the
+        # compact flat rows so the padded-window gather moves half the bytes.
+        qkv = jnp.concatenate([qk, v], axis=-1)
+        if use_pallas:
+            qkv = qkv.astype(jnp.bfloat16)
+        qkv_d = flat2window(qkv, f2w)
+        pads = window_key_padding(f2w)
+        scale = 1.0 / np.sqrt(dh)
         outs = []
         for qkvw, pad in zip(qkv_d, pads):
             qw, kw, vw = jnp.split(qkvw, 3, axis=-1)
@@ -67,9 +72,9 @@ class WindowAttention(nn.Module):
             if use_pallas:
                 from sst_tpu.ops.pallas_attention import window_mha
 
-                outs.append(
-                    window_mha(qw, kw, vw, pad, h).astype(feat.dtype)
-                )
+                # stay bf16 through the window2flat gather; cast once on the
+                # compact flat rows below
+                outs.append(window_mha(qw, kw, vw, pad, h))
                 continue
             q4 = qw.reshape(w, t, h, dh).astype(jnp.bfloat16)
             k4 = kw.reshape(w, t, h, dh).astype(jnp.bfloat16)
@@ -98,7 +103,7 @@ class WindowAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("whts,wshd->wthd", probs, v4)
             outs.append(out.reshape(w, t, self.d_model).astype(feat.dtype))
-        flat = window2flat(outs, f2w)
+        flat = window2flat(outs, f2w).astype(feat.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(flat)
 
 

@@ -117,13 +117,21 @@ def sst_input_layer(
     pos1 = sinusoidal_window_pos(ciw1, window_shape, d_model, pos_temperature, normalize_pos)
 
     if perm is not None:
-        # map plan back to original voxel order
+        # map plan back to original voxel order (window-space fields — pads —
+        # are row-order independent; inv_inds hold shuffled row ids, so remap
+        # them through perm: shuffled row i is original row perm[i])
+        perm32 = perm.astype(jnp.int32)
+
         def unshuffle_f2w(f: FlatToWindow) -> FlatToWindow:
             return f.replace(
                 drop_lvl=f.drop_lvl[inv],
                 flat_inds=f.flat_inds[inv],
                 valid=f.valid[inv],
                 coors_in_win=f.coors_in_win[inv],
+                inv_inds=tuple(
+                    jnp.where(iv < n, perm32[jnp.minimum(iv, n - 1)], n)
+                    for iv in f.inv_inds
+                ),
             )
 
         f2w0, f2w1 = unshuffle_f2w(f2w0), unshuffle_f2w(f2w1)

@@ -167,3 +167,59 @@ def test_finalize_flat2win_matches_build_flat2win():
     pads_new = f_new.pads
     total_real = sum(int((~np.asarray(p)).sum()) for p in pads_new)
     assert total_real == int(v.sum())
+
+
+def test_flat2window_gather_matches_scatter():
+    """inv_inds gather path must reproduce the scatter path exactly."""
+    import numpy as np
+    from sst_tpu.ops.window import (drop_pass, finalize_flat2win, flat2window,
+                                    window2flat)
+
+    rng = np.random.RandomState(3)
+    n, totw = 300, 48
+    win = jnp.asarray(rng.randint(0, 30, size=(n,)).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    ciw = jnp.asarray(rng.randint(0, 12, size=(n, 3)).astype(np.int32))
+    buckets = (BucketSpec(8, 0, 8, 12), BucketSpec(20, 8, 100000, 8))
+    uniq, keep, lvl = drop_pass(win, valid, buckets, totw)
+    f2w = finalize_flat2win(uniq, ciw, lvl, keep, buckets, totw)
+    assert f2w.inv_inds and f2w.pads
+
+    feat = jnp.asarray(rng.randn(n, 6).astype(np.float32))
+    gather_out = flat2window(feat, f2w)
+    scatter_out = flat2window(feat, f2w.replace(inv_inds=()))
+    for a, b in zip(gather_out, scatter_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    back = window2flat(gather_out, f2w)
+    v = np.asarray(f2w.valid)
+    np.testing.assert_allclose(np.asarray(back)[v], np.asarray(feat)[v])
+
+
+def test_sst_plan_shuffle_invariance():
+    """With shuffling, the plan's gather tables must still address original
+    row order: flat2window(feat) slots hold the right features."""
+    import jax
+    import numpy as np
+    from sst_tpu.models.sst_input import sst_input_layer
+    from sst_tpu.ops.window import flat2window
+
+    rng = np.random.RandomState(7)
+    n = 256
+    coords = np.zeros((n, 4), np.int32)
+    coords[:, 2] = rng.randint(0, 48, n)
+    coords[:, 3] = rng.randint(0, 48, n)
+    # dedupe to make ranks deterministic
+    _, first = np.unique(coords[:, 2] * 48 + coords[:, 3], return_index=True)
+    valid = np.zeros((n,), bool); valid[first] = True
+    buckets = (BucketSpec(8, 0, 8, 32), BucketSpec(16, 8, 100000, 16))
+    plan = sst_input_layer(
+        jnp.asarray(coords), jnp.asarray(valid), (48, 48, 1), (12, 12),
+        buckets, d_model=32, max_total_windows=64,
+        shuffle_rng=jax.random.PRNGKey(0))
+    feat = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    dense = flat2window(feat, plan.f2w[0])
+    # every valid voxel's feature appears exactly once across window slots
+    flat_all = np.concatenate([np.asarray(d).reshape(-1, 4) for d in dense])
+    for i in np.where(np.asarray(plan.f2w[0].valid))[0]:
+        match = np.all(np.abs(flat_all - np.asarray(feat)[i]) < 1e-6, axis=1)
+        assert match.sum() == 1
