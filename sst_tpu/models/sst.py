@@ -53,7 +53,12 @@ class WindowAttention(nn.Module):
         v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(feat)
         # fused Pallas kernel on TPU (keeps logits/softmax/AV in VMEM;
         # 2-4x faster than the einsum path); cosine mode + CPU use einsum.
-        use_pallas = (not self.cosine) and jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (
+            (not self.cosine) and jax.default_backend() == "tpu"
+            and not os.environ.get("SST_TPU_NO_PALLAS_MHA")
+        )
         # ONE wide gather instead of three: row-gather cost on TPU is
         # per-row-bound, not bandwidth-bound (profiled 165 GB/s at 512 B
         # rows), so gathering [N, 3C] costs ~1/3 of three [N, C] gathers.

@@ -33,7 +33,10 @@ def _mha_kernel(q_ref, k_ref, v_ref, pad_ref, out_ref, *, nhead: int):
     neg = pad_ref[:] * -1e4  # [BW, T] (pad mask pre-cast to f32 0/1)
 
     # static python loop over heads; each head is a lane-slice of C (Mosaic
-    # cannot reshape the minor dim, but static lane slices are fine)
+    # cannot reshape the minor dim, but static lane slices are fine). The
+    # per-head outputs are accumulated and written ONCE as a full-lane store —
+    # eight 16-lane strided stores were measured ~20% slower end to end.
+    acc = []
     for h in range(nhead):
         sl = slice(h * dh, (h + 1) * dh)
         qh = q[:, :, sl]
@@ -47,13 +50,16 @@ def _mha_kernel(q_ref, k_ref, v_ref, pad_ref, out_ref, *, nhead: int):
         logits = logits + neg[:, None, :]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # normalize on the [BW, T, dh] output instead of the [BW, T, T]
+        # probs — one fewer full pass over the logits-sized tensor
+        s = jnp.sum(p, axis=-1, keepdims=True)  # [BW, T, 1]
         oh = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [BW, T, dh]
-        out_ref[:, :, sl] = oh.astype(out_ref.dtype)
+        acc.append((oh / s).astype(out_ref.dtype))
+    out_ref[:] = jnp.concatenate(acc, axis=-1)
 
 
 def _window_mha_fwd_impl(q, k, v, pad_mask, nhead: int, block_windows: int = 0,
