@@ -158,10 +158,18 @@ class DenseBEVMixer(nn.Module):
         z = jnp.clip(coords[:, 1], 0, self.nz - 1)
         cellz = ((coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]) * self.nz + z
         cellz = jnp.where(valid, cellz, batch_size * h * w * self.nz)
-        canvas = jnp.zeros((batch_size * h * w * self.nz, cz), x.dtype)
-        canvas = canvas.at[cellz].max(jnp.where(valid[:, None], x, 0.0),
-                                      mode="drop")
-        canvas = canvas.reshape(batch_size, h, w, self.nz * cz)
+        # virtual sites are unique, so the canvas build is an s32 inverse-
+        # index scatter + one contiguous row gather instead of a wide f32
+        # scatter-max (profiled 10 ms -> sub-ms: the f32 scatter was the
+        # single hottest op of the dense flagship).
+        n = x.shape[0]
+        size = batch_size * h * w * self.nz
+        inv = jnp.full((size,), n, jnp.int32).at[cellz].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        ext = jnp.concatenate(
+            [jnp.where(valid[:, None], x, 0.0),
+             jnp.zeros((1, cz), x.dtype)], axis=0)
+        canvas = ext[inv].reshape(batch_size, h, w, self.nz * cz)
         out2d, _ = DenseBEVUNet(
             encoder_channels=self.encoder_channels,
             decoder_channels=self.decoder_channels,
