@@ -103,6 +103,13 @@ class SingleStageFSDV2(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        n_groups = (len(self.group_names) if self.group_names is not None
+                    else self.num_classes)
+        if len(self.caps.fg_per_class) < n_groups:
+            raise ValueError(
+                f"caps.fg_per_class has {len(self.caps.fg_per_class)} entries "
+                f"but {n_groups} sampling groups are configured — provide one "
+                "fg cap per group")
         self.segmentor_mod = VoteSegmentor(
             point_cloud_range=self.point_cloud_range, return_multiscale=True,
             dtype=self.dtype, **self.segmentor,
@@ -184,7 +191,7 @@ class SingleStageFSDV2(nn.Module):
         weighting, :836-841)."""
         names = self.group_names[gi]
         ids = [self.class_names.index(n) for n in names]
-        cap = self.caps.fg_per_class[min(gi, len(self.caps.fg_per_class) - 1)]
+        cap = self.caps.fg_per_class[gi]  # one cap per group (setup-checked)
         probs = jax.nn.softmax(data["seg_logits"], axis=-1)  # incl. background
         gscore = probs[:, jnp.asarray(ids)].sum(axis=-1)
         if pretrain:
@@ -374,6 +381,11 @@ class SingleStageFSDV2(nn.Module):
             "virtual_valid": vvalid,
             "virtual_centroid": centroid[vidx],
             "num_virtual": virtual_mask.sum(),
+            # capacity observability: union inputs whose voxel fell past the
+            # static caps.voxels cap were silently dropped — surface the count
+            "num_union_overflow_points": (
+                cat_valid & vm.valid
+                & (vm.point_seg_ids >= caps.voxels)).sum(),
         }
         if self.as_rpn:
             # recover per-point features (single_stage_fsd_v2.py:131-155)
@@ -446,6 +458,8 @@ class SingleStageFSDV2(nn.Module):
         )
         losses.update(det)
         losses["num_virtual"] = ex["num_virtual"].astype(jnp.float32)
+        losses["num_union_overflow_points"] = (
+            ex["num_union_overflow_points"].astype(jnp.float32))
         return losses
 
     def loss(self, batch, train: bool = True, thr_extra: float = 0.0,
@@ -505,17 +519,15 @@ class FSDV2(nn.Module):
         valid = jnp.concatenate(valid_l)
         batch = jnp.concatenate([ex["virtual_batch"]] * len(head.tasks))
 
-        rb, rs, rl, rv, rbt = [], [], [], [], []
-        for i in range(b):
+        def per_sample(i):
             m = valid & (batch == i)
             idx, sv = topk_compact(scores, m, self.rois_per_sample)
-            rb.append(boxes[idx])
-            rs.append(jnp.where(sv, scores[idx], 0.0))
-            rl.append(labels[idx])
-            rv.append(sv)
-            rbt.append(jnp.full((self.rois_per_sample,), i, jnp.int32))
-        return (jnp.concatenate(rb), jnp.concatenate(rs), jnp.concatenate(rl),
-                jnp.concatenate(rv), jnp.concatenate(rbt))
+            return boxes[idx], jnp.where(sv, scores[idx], 0.0), labels[idx], sv
+
+        rb, rs, rl, rv = jax.vmap(per_sample)(jnp.arange(b, dtype=jnp.int32))
+        rbt = jnp.repeat(jnp.arange(b, dtype=jnp.int32), self.rois_per_sample)
+        return (rb.reshape(b * self.rois_per_sample, -1),
+                rs.reshape(-1), rl.reshape(-1), rv.reshape(-1), rbt)
 
     def _roi_points(self, pipe):
         ex = pipe["ex"]

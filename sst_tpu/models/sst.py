@@ -7,6 +7,12 @@ TPU rebuild of SSTv2 + BasicShiftBlockV2 + WindowAttention + EncoderLayer
 Once region batching has produced fixed [num_windows, max_tokens, C] tensors,
 windowed sparse attention is plain batched dense MHA — exactly what the MXU
 wants. The per-bucket python loop is over a static, small bucket count.
+
+Not ported: SRABlock (models/sst/sra_block.py) and the SST backbone built on
+it (backbones/sst.py) — that file opens with "Do not use this file. Please
+wait for future release", imports ipdb, and no shipped config references it;
+it is unreleased dead code in the reference. SSTv1/SSTv2 below cover every
+config the reference ships.
 """
 
 from __future__ import annotations
