@@ -32,12 +32,20 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--expect-devices", type=int, default=0,
+                   help="assert this many local devices are visible "
+                        "(dist_train.sh chip-count argument; 0 = any)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.expect_devices and len(jax.devices()) != args.expect_devices:
+        raise SystemExit(
+            f"--expect-devices {args.expect_devices} but "
+            f"{len(jax.devices())} visible: {jax.devices()}")
 
     # The axon sitecustomize pins JAX_PLATFORMS=axon; honor an explicit
     # override (e.g. SST_TPU_PLATFORM=cpu for the virtual 8-device mesh).
