@@ -207,11 +207,12 @@ def box3d_multiclass_nms(
     """
     if not use_wnms:
         k = min(nms_pre, boxes.shape[0])
-
-        def select(s):
-            return topk_presort(s, valid & (s > score_thr), k)
-
-        idxs, sels = jax.vmap(select, in_axes=1)(scores)  # [C, K]
+        # unbatched per-class top_k (vmapped lax.top_k degrades to a full
+        # variadic sort of the N rows per class), then one batched sweep
+        sel = [topk_presort(scores[:, c], valid & (scores[:, c] > score_thr), k)
+               for c in range(num_classes)]
+        idxs = jnp.stack([s[0] for s in sel])  # [C, K]
+        sels = jnp.stack([s[1] for s in sel])
         cand_boxes = boxes[idxs]  # [C, K, D]
         cand_scores = jnp.take_along_axis(
             jnp.swapaxes(scores, 0, 1), idxs, axis=1)

@@ -225,11 +225,13 @@ class Anchor3DHead(nn.Module):
 
             k = min(nms_pre, logits.shape[0])
             logit_thr = jnp.log(score_thr / (1.0 - score_thr))
-
-            def select(lg):
-                return topk_presort(lg, lg > logit_thr, k)
-
-            idxs, sels = jax.vmap(select, in_axes=1)(logits)  # [C, K]
+            # per-class top_k as separate UNBATCHED calls: vmapped lax.top_k
+            # over the anchor grid loses the TopK lowering and falls back to
+            # a full variadic sort of all 1.3M anchors per class (+18 ms)
+            sel = [topk_presort(logits[:, c], logits[:, c] > logit_thr, k)
+                   for c in range(self.num_classes)]
+            idxs = jnp.stack([s[0] for s in sel])  # [C, K]
+            sels = jnp.stack([s[1] for s in sel])
             cand_scores = jax.nn.sigmoid(
                 jnp.take_along_axis(jnp.swapaxes(logits, 0, 1), idxs, axis=1))
             reg_flat = cm(reg_p)
