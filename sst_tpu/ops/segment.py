@@ -89,6 +89,41 @@ def unique_segments(keys: jax.Array, valid: jax.Array, num_segments: int) -> Uni
     return UniqueResult(seg_ids, ranks, unique_keys, counts, num_unique, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_segments", "key_space"))
+def unique_segments_canvas(keys: jax.Array, valid: jax.Array,
+                           num_segments: int, key_space: int) -> UniqueResult:
+    """Sort-free unique for BOUNDED key spaces: occupancy canvas + cumsum.
+
+    Produces the same dense seg ids (ascending key order) and overflow
+    semantics as :func:`unique_segments` WITHOUT the O(N log N) sort — one
+    scatter + one prefix sum over the key space + one gather, profiled 3-5x
+    faster than the sort at N~200k, key_space~12M (the segmentor voxel
+    grid). Memory is O(key_space), so callers gate on grid size.
+
+    LIMITATION: per-segment ``ranks`` are NOT computed (all zeros) — valid
+    only for consumers that never read them (dynamic-VFE scatter paths; the
+    hard-voxelize slot assignment must keep the sort).
+    """
+    n = keys.shape[0]
+    k = jnp.where(valid, keys, key_space).astype(jnp.int32)
+    occ = jnp.zeros((key_space + 1,), jnp.bool_).at[k].set(
+        True, mode="drop")[:key_space]
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - 1  # dense id per occupied cell
+    cell_seg = jnp.where(occ, jnp.minimum(rank, num_segments), num_segments)
+    seg_ids = jnp.where(
+        valid, cell_seg[jnp.minimum(k, key_space - 1)], num_segments)
+    num_unique = occ.sum().astype(jnp.int32)
+    unique_keys = (
+        jnp.full((num_segments,), INT_SENTINEL, jnp.int32)
+        .at[seg_ids].set(k, mode="drop")
+    )
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg_ids, num_segments=num_segments + 1
+    )[:num_segments]
+    ranks = jnp.zeros((n,), jnp.int32)  # see LIMITATION above
+    return UniqueResult(seg_ids, ranks, unique_keys, counts, num_unique, valid)
+
+
 def segment_reduce(
     data: jax.Array,
     seg_ids: jax.Array,

@@ -100,3 +100,29 @@ def test_hard_voxelize_and_hard_vfes():
     out = pfn.apply(variables, voxels, num_points, coords)
     assert out.shape == (256, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_canvas_unique_matches_sort_unique():
+    """Sort-free canvas unique must produce identical seg ids / keys /
+    counts / overflow semantics to the sort-based unique (ranks excluded)."""
+    import numpy as np
+    from sst_tpu.ops.segment import unique_segments, unique_segments_canvas
+
+    rng = np.random.RandomState(0)
+    n, space, cap = 3000, 512, 64
+    keys = jnp.asarray(rng.randint(0, space, size=(n,)).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+
+    a = unique_segments(keys, valid, cap)
+    b = unique_segments_canvas(keys, valid, cap, space)
+    np.testing.assert_array_equal(np.asarray(a.seg_ids), np.asarray(b.seg_ids))
+    np.testing.assert_array_equal(np.asarray(a.unique_keys),
+                                  np.asarray(b.unique_keys))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.num_unique) == int(b.num_unique)
+
+    # no-overflow case too
+    a2 = unique_segments(keys, valid, 600)
+    b2 = unique_segments_canvas(keys, valid, 600, space)
+    np.testing.assert_array_equal(np.asarray(a2.seg_ids), np.asarray(b2.seg_ids))
+    np.testing.assert_array_equal(np.asarray(a2.counts), np.asarray(b2.counts))
