@@ -79,12 +79,20 @@ def knn(k: int, xyz, center_xyz=None, xyz_valid=None):
     """k nearest neighbours of each center.
 
     Reference: knn.py:16 — returns idx [B, k, npoint] (transposed layout).
+    With a `xyz_valid` mask and fewer than k valid points, the tail slots
+    repeat the nearest valid neighbour (ball_query's fill semantics) instead
+    of leaking padding-row indices.
     """
     if center_xyz is None:
         center_xyz = xyz
     d2 = square_distance(center_xyz, xyz, xyz_valid)  # [B, np, N]
-    _, idx = jax.lax.top_k(-d2, k)  # ascending distance
-    return jnp.swapaxes(idx.astype(jnp.int32), -1, -2)  # [B, k, np]
+    neg, idx = jax.lax.top_k(-d2, k)  # ascending distance
+    idx = idx.astype(jnp.int32)
+    if xyz_valid is not None:
+        # slots whose distance is the invalid sentinel fall back to slot 0
+        ok = -neg < _INF
+        idx = jnp.where(ok, idx, idx[..., :1])
+    return jnp.swapaxes(idx, -1, -2)  # [B, k, np]
 
 
 def three_nn(target, source, source_valid=None):

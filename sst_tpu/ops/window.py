@@ -121,11 +121,7 @@ def drop_and_bucket(
 ):
     """One shift's drop pass: per-window token counts → drop level per voxel →
     keep mask (rank < bucket.max_tokens). Returns (keep, drop_lvl)."""
-    uniq = unique_segments(win_inds, valid, max_total_windows)
-    counts_per_voxel = uniq.counts[jnp.minimum(uniq.seg_ids, max_total_windows - 1)]
-    counts_per_voxel = jnp.where(valid, counts_per_voxel, 0)
-    lvl, target = assign_drop_levels(counts_per_voxel, buckets)
-    keep = valid & (lvl >= 0) & (uniq.ranks < target) & (uniq.seg_ids < max_total_windows)
+    _, keep, lvl = drop_pass(win_inds, valid, buckets, max_total_windows)
     return keep, lvl
 
 
@@ -174,10 +170,17 @@ def finalize_flat2win(
     wlvl, _ = assign_drop_levels(uniq.counts, buckets)
     wlvl = jnp.where(wused, wlvl, -1)
     seg = jnp.minimum(uniq.seg_ids, max_total_windows - 1)
+    # only windows with a SURVIVING voxel occupy a slot: a window fully
+    # emptied by the other shift's drops must not consume max_windows
+    # capacity (the per-bucket unique of build_flat2win never saw such
+    # windows; counting them here pushed real windows past the cap)
+    wsurv = jnp.zeros((max_total_windows,), jnp.bool_).at[
+        jnp.where(valid, uniq.seg_ids, max_total_windows)
+    ].set(True, mode="drop")
     flat_inds = jnp.full((n,), OOB, jnp.int32)
     out_valid = jnp.zeros((n,), jnp.bool_)
     for i, b in enumerate(buckets):
-        wmask = wlvl == i
+        wmask = (wlvl == i) & wsurv
         cw = jnp.cumsum(wmask.astype(jnp.int32)) - 1  # compact id in bucket
         wok = wmask & (cw < b.max_windows)
         ok = (

@@ -120,3 +120,13 @@ def test_ops_jit_and_grad():
 
     g = jax.jit(jax.grad(f))(feats)
     assert g.shape == feats.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_knn_never_returns_invalid_indices():
+    """Fewer valid points than k: tail slots repeat the nearest valid
+    neighbour instead of leaking padding rows (code-review regression)."""
+    xyz = _cloud(1, 16)
+    xyz = xyz.at[0, 4:].set(1e3)  # padding rows pushed far away anyway
+    valid = jnp.arange(16) < 4
+    idx = knn(8, xyz, xyz[:, :2], xyz_valid=valid[None])
+    assert int(jnp.max(idx)) < 4

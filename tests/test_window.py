@@ -223,3 +223,28 @@ def test_sst_plan_shuffle_invariance():
     for i in np.where(np.asarray(plan.f2w[0].valid))[0]:
         match = np.all(np.abs(flat_all - np.asarray(feat)[i]) < 1e-6, axis=1)
         assert match.sum() == 1
+
+
+def test_finalize_emptied_windows_free_their_cap_slot():
+    """A window whose voxels were ALL dropped by the other shift must not
+    consume max_windows capacity (code-review regression: phantom windows
+    pushed real ones past the cap)."""
+    import numpy as np
+    from sst_tpu.ops.window import (build_flat2win, drop_pass,
+                                    finalize_flat2win)
+
+    # 3 windows x 4 voxels, one bucket with cap max_windows=2
+    win = jnp.asarray(np.repeat([10, 20, 30], 4).astype(np.int32))
+    valid = jnp.ones((12,), bool)
+    ciw = jnp.zeros((12, 3), jnp.int32)
+    buckets = (BucketSpec(8, 0, 100000, 2),)
+    uniq, keep, lvl = drop_pass(win, valid, buckets, 16)
+    assert bool(keep.all())
+    # the other shift drops ALL of window 10's voxels
+    final = keep & (win != 10)
+    f_new = finalize_flat2win(uniq, ciw, lvl, final, buckets, 16)
+    f_old = build_flat2win(win, ciw, lvl, final, buckets)
+    np.testing.assert_array_equal(np.asarray(f_new.valid),
+                                  np.asarray(f_old.valid))
+    # windows 20 and 30 both survive under the cap of 2
+    assert int(f_new.valid.sum()) == 8

@@ -6,4 +6,4 @@ CKPT=$2
 CHIPS=$3
 shift 3
 PYTHONPATH="$(dirname $0)/..":$PYTHONPATH \
-python3 "$(dirname "$0")/test.py" "$CONFIG" --checkpoint "$CKPT" "$@"
+python3 "$(dirname "$0")/test.py" "$CONFIG" "$CKPT" "$@"

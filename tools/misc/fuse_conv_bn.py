@@ -31,12 +31,34 @@ def fuse_variables(variables: dict, eps: float = 1e-3) -> dict:
     params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
     stats = jax.tree_util.tree_map(np.asarray, dict(variables.get("batch_stats", {})))
 
+    def _pairs(pnode):
+        """(conv_key, bn_key) sibling pairs, matched by INDEX, not by zip
+        position: flax auto-names Conv_i / BatchNorm_j independently, so a
+        conv without a following BN must not steal the next BN. Also matches
+        the repo's explicitly named deblock_conv_i / deblock_bn_i pairs
+        (models/second.py SECONDFPN)."""
+        out = []
+        for ck in pnode:
+            if ck.startswith("Conv_"):
+                # Conv_i pairs with BatchNorm_i only when the scope holds
+                # equally many of each (the ConvNormAct layout); scopes with
+                # unpaired convs are skipped entirely to stay safe
+                n_conv = sum(1 for k in pnode if k.startswith("Conv_"))
+                n_bn = sum(1 for k in pnode if k.startswith("BatchNorm_"))
+                if n_conv == n_bn:
+                    bk = "BatchNorm_" + ck[len("Conv_"):]
+                    if bk in pnode:
+                        out.append((ck, bk))
+            elif ck.startswith("deblock_conv_"):
+                bk = "deblock_bn_" + ck[len("deblock_conv_"):]
+                if bk in pnode:
+                    out.append((ck, bk))
+        return out
+
     def walk(pnode, snode):
         if not isinstance(pnode, dict):
             return
-        convs = sorted(k for k in pnode if k.startswith("Conv_"))
-        bns = sorted(k for k in pnode if k.startswith("BatchNorm_"))
-        for ck, bk in zip(convs, bns):
+        for ck, bk in _pairs(pnode):
             if not (isinstance(snode, dict) and bk in snode):
                 continue
             bn_p, bn_s = pnode[bk], snode[bk]

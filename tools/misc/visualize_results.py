@@ -47,6 +47,8 @@ def main():
         pts = np.asarray(s["points"])
         valid = np.asarray(s.get("points_valid", np.ones(len(pts), bool)))
         gt = np.asarray(s.get("gt_boxes", np.zeros((0, 7))))
+        gtv = np.asarray(s.get("gt_valid", np.ones(len(gt), bool)))
+        gt = gt[gtv][:, :7] if len(gt) else gt.reshape(0, 7)
         boxes = np.asarray(res["boxes"])
         keep = np.asarray(res.get("valid", np.ones(len(boxes), bool)))
         keep = keep & (np.asarray(res.get("scores", np.ones(len(boxes)))) >=

@@ -42,15 +42,16 @@ def main():
     args = parse_args()
     import jax
 
+    # The axon sitecustomize pins JAX_PLATFORMS=axon; honor an explicit
+    # override (e.g. SST_TPU_PLATFORM=cpu for the virtual 8-device mesh).
+    # Must run before the first jax.devices() call — backend init is sticky.
+    if os.environ.get("SST_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+
     if args.expect_devices and len(jax.devices()) != args.expect_devices:
         raise SystemExit(
             f"--expect-devices {args.expect_devices} but "
             f"{len(jax.devices())} visible: {jax.devices()}")
-
-    # The axon sitecustomize pins JAX_PLATFORMS=axon; honor an explicit
-    # override (e.g. SST_TPU_PLATFORM=cpu for the virtual 8-device mesh).
-    if os.environ.get("SST_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
     import numpy as np
 
     import sst_tpu.models  # noqa: F401 (register)
