@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from sst_tpu.core.evaluation import rotated_iou_matrix
+from sst_tpu.core.eval_waymo import greedy_match
 
 CLASS_NAMES = ("Car", "Pedestrian", "Cyclist")
 MIN_HEIGHT = (40.0, 25.0, 25.0)
@@ -115,22 +116,16 @@ def _match_image(iou, scores, gt_flag, dt_flag, min_overlap):
     contribute to neither.
     """
     order = np.argsort(-scores, kind="stable")
-    taken = np.zeros(iou.shape[1], bool)
-    tp_scores, fp_scores = [], []
-    for i in order:
-        if dt_flag[i] == -1:
-            continue
-        row = iou[i].copy()
-        row[taken | (gt_flag == -1)] = -1.0
-        j = int(np.argmax(row)) if row.size else -1
-        if j >= 0 and row[j] >= min_overlap:
-            taken[j] = True
-            if gt_flag[j] == 0 and dt_flag[i] == 0:
-                tp_scores.append(scores[i])
-            # matches to ignored gts / by ignored dets: neither tp nor fp
-        elif dt_flag[i] == 0:
-            fp_scores.append(scores[i])
-    return np.asarray(tp_scores), np.asarray(fp_scores)
+    order = order[dt_flag[order] != -1]  # other-class dets never participate
+    match = greedy_match(iou, order, min_overlap, gt_eligible=gt_flag != -1)
+    matched = match >= 0
+    mj = np.maximum(match, 0)
+    counted_det = dt_flag == 0
+    # matches to ignored gts / by ignored dets: neither tp nor fp
+    tp = matched & counted_det & (gt_flag[mj] == 0 if len(gt_flag)
+                                  else False)
+    fp = ~matched & counted_det & (dt_flag != -1)
+    return scores[tp], scores[fp]
 
 
 def kitti_eval(gt_annos, dt_annos, classes=CLASS_NAMES,

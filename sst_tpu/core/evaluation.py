@@ -137,6 +137,32 @@ def rotated_iou_matrix(boxes_a, boxes_b, mode: str = "3d"):
     return out
 
 
+def greedy_match(iou, order, iou_thr, gt_eligible=None):
+    """Exact sequential greedy matching: iterating predictions in ``order``,
+    each takes its highest-IoU still-free eligible gt with IoU >= thr.
+    Returns match[pred] = gt index or -1 (original index spaces).
+
+    Vectorized fast path: predictions with no candidate gt never enter the
+    python loop, so the loop length is bounded by the number of contended
+    predictions (~#gt), not #predictions."""
+    n, m = iou.shape
+    match = np.full(n, -1, np.int64)
+    if n == 0 or m == 0:
+        return match
+    elig = np.ones(m, bool) if gt_eligible is None else np.asarray(gt_eligible)
+    has_cand = ((iou >= iou_thr) & elig[None, :]).any(axis=1)
+    taken = ~elig
+    for i in order:
+        if not has_cand[i]:
+            continue
+        row = np.where(taken, -1.0, iou[i])
+        j = int(np.argmax(row))
+        if row[j] >= iou_thr:
+            match[i] = j
+            taken[j] = True
+    return match
+
+
 def eval_ap(
     predictions: list[dict],
     ground_truths: list[dict],

@@ -94,7 +94,9 @@ class LiDARTracklet:
         (lidar_tracklet.py:664): prepend up to `length` extrapolated boxes at
         the timestamps preceding the track, scores decayed geometrically."""
         assert direction == "backward", "reference implements backward only"
-        if len(self) < min_length:
+        # velocity/gap checks index timestamps[1]; a single-frame track can
+        # never be extended regardless of min_length
+        if len(self) < max(min_length, 2):
             return self
         idx = full_ts_list.index(self.timestamps[0])
         length = min(length, idx)
@@ -117,7 +119,7 @@ class LiDARTracklet:
                    score_multiplier: float = 0.9, velo_window_size: int = 10):
         """Extend to every timestamp of the sequence, backward from the first
         box and forward from the last (lidar_tracklet.py:714)."""
-        if len(self) < min_length:
+        if len(self) < max(min_length, 2):
             return self
         out = self
         left = full_ts_list.index(self.timestamps[0])
@@ -126,7 +128,10 @@ class LiDARTracklet:
                              score_multiplier, velo_window_size)
         right = full_ts_list.index(self.timestamps[-1]) + 1
         n_fwd = len(full_ts_list) - right
-        if n_fwd > 0:
+        # symmetric end-gap sanity check: a >0.5 s hole before the last box
+        # makes the tail velocity estimate unusable for forward extrapolation
+        if n_fwd > 0 and \
+                (self.timestamps[-1] - self.timestamps[-2]) / 1e6 <= 0.5:
             velo = self.velocity()[-velo_window_size:].mean(0)
             target = full_ts_list[right:]
             boxes, scores = self._extrapolate(

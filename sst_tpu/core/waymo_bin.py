@@ -256,12 +256,18 @@ def read_bin_as_frames(path: str):
     type2label = {1: 0, 2: 1, 4: 2}
     frames: dict = {}
     for o in read_waymo_bin(path):
+        # Official gt bins also carry TYPE_SIGN (3) / TYPE_UNKNOWN (0);
+        # drop anything outside the three detection classes rather than
+        # miscounting it as vehicle.
+        label = type2label.get(int(o.get("type", 1)))
+        if label is None:
+            continue
         key = (o["context_name"], o["timestamp_micros"])
         fr = frames.setdefault(
             key, dict(boxes=[], scores=[], labels=[], obj_ids=[]))
         fr["boxes"].append(waymo_box_to_lidar(o["box"]))
         fr["scores"].append(o.get("score", 0.0))
-        fr["labels"].append(type2label.get(int(o.get("type", 1)), 0))
+        fr["labels"].append(label)
         fr["obj_ids"].append(o.get("id", ""))
     out = {}
     for key, fr in frames.items():

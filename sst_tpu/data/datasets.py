@@ -158,7 +158,10 @@ class WaymoDataset(Custom3DDataset):
         import shutil
         import subprocess
 
+        from sst_tpu.core.eval_waymo import parse_metrics_stdout, waymo_eval
+
         out = {}
+        binary_ap = None
         if metric in ("fast", "waymo") and pklfile_prefix is not None:
             bin_path = self.format_results(results, pklfile_prefix)
             out["bin"] = bin_path
@@ -168,8 +171,11 @@ class WaymoDataset(Custom3DDataset):
                     capture_output=True, text=True,
                 )
                 out["waymo_stdout"] = proc.stdout
-                return out
-        from sst_tpu.core.eval_waymo import waymo_eval
+                # parse the table into the ap_dict
+                # (waymo_dataset.py:416-470); the internal protocol still
+                # runs below so the binary-vs-internal delta is visible
+                binary_ap = parse_metrics_stdout(proc.stdout)
+                out.update(binary_ap)
 
         gts = []
         for info in self.infos:
@@ -197,8 +203,17 @@ class WaymoDataset(Custom3DDataset):
                  labels=np.asarray(r["labels_3d"]))
             for r in results
         ]
-        out.update(waymo_eval(preds, gts, tuple(self.classes),
-                              range_breakdowns=metric == "waymo"))
+        internal = waymo_eval(preds, gts, tuple(self.classes),
+                              range_breakdowns=metric == "waymo")
+        if binary_ap is None:
+            out.update(internal)
+        else:
+            # binary numbers are authoritative; surface the internal
+            # protocol's agreement as a cross-check scalar
+            for k in ("Overall/L1 mAPH", "Overall/L2 mAPH"):
+                if k in binary_ap and k in internal:
+                    out[f"binary_minus_internal/{k.split('/')[1]}"] = round(
+                        binary_ap[k] - internal[k], 4)
         return out
 
 

@@ -123,6 +123,9 @@ class TrackletRoIHead(nn.Module):
     num_classes: int = 1
     extra_wlh: tuple = (0.5, 0.5, 0.5)
     max_inbox_point: int = 96
+    # cap on rois a point may be paired with; dropped pairs surface as
+    # losses['roi_membership_overflow'] (see models/fsd/roi_head.py)
+    membership_rounds: int = 4
     cls_pos_thr: float = 0.8
     cls_neg_thr: float = 0.2
     loss_cls_weight: float = 1.0
@@ -141,7 +144,7 @@ class TrackletRoIHead(nn.Module):
                          rois, roi_valid, roi_group, train: bool):
         pool = dynamic_point_pool(
             pts_xyz[:, :3], pts_valid, pts_group, rois, roi_valid, roi_group,
-            self.extra_wlh, self.max_inbox_point,
+            self.extra_wlh, self.max_inbox_point, self.membership_rounds,
         )
         r, k = pool["idx"].shape
         flat_idx = pool["idx"].reshape(-1)
@@ -151,7 +154,7 @@ class TrackletRoIHead(nn.Module):
         return self.bbox_head_mod(
             pair_pts, pair_feats, pool["geo"].reshape(-1, 13), pair_valid, r,
             train,
-        )
+        ) + (pool["membership_overflow"],)
 
     def _flatten(self, batch: TrackletBatch):
         b, f, _ = batch.trk_boxes.shape
@@ -171,7 +174,7 @@ class TrackletRoIHead(nn.Module):
         b, f, _ = batch.trk_boxes.shape
         pts, pt_group, rois, roi_group = self._flatten(batch)
         roi_valid = batch.trk_valid.reshape(-1)
-        cls_score, bbox_pred, nonempty = self.pool_and_forward(
+        cls_score, bbox_pred, nonempty, mem_overflow = self.pool_and_forward(
             pts, pts_feats, batch.valid.reshape(-1) & seg_valid, pt_group,
             rois, roi_valid, roi_group, train,
         )
@@ -220,6 +223,7 @@ class TrackletRoIHead(nn.Module):
             "loss_trk_bbox": loss_bbox,
             "loss_trk_corner": loss_corner,
             "mean_roi_iou": jnp.sum(iou * rw) / jnp.maximum(rw.sum(), 1.0),
+            "roi_membership_overflow": mem_overflow.astype(jnp.float32),
         }
 
     def predict(self, batch: TrackletBatch, pts_feats, seg_valid):
@@ -228,7 +232,7 @@ class TrackletRoIHead(nn.Module):
         b, f, _ = batch.trk_boxes.shape
         pts, pt_group, rois, roi_group = self._flatten(batch)
         roi_valid = batch.trk_valid.reshape(-1)
-        cls_score, bbox_pred, nonempty = self.pool_and_forward(
+        cls_score, bbox_pred, nonempty, _ = self.pool_and_forward(
             pts, pts_feats, batch.valid.reshape(-1) & seg_valid, pt_group,
             rois, roi_valid, roi_group, False,
         )

@@ -43,12 +43,18 @@ def _local_frame(points_xyz, pts_rois):
 
 
 def point_roi_membership(points_xyz, pts_valid, pts_batch, rois, roi_valid,
-                         roi_batch, extra_wlh, rounds: int = 2,
+                         roi_batch, extra_wlh, rounds: int = 4,
                          chunk: int = 16384):
     """Per-point containing-roi ids [N, rounds] (-1 = none), chunked so the
     [chunk, R] inside matrix stays small. Round m is the m-th (by roi index)
     roi containing the point — the static-membership replacement for the
-    CUDA op's unbounded multi-membership pair list."""
+    CUDA op's unbounded multi-membership pair list.
+
+    Returns (mem [N, rounds], overflow): overflow is the total number of
+    (point, roi) containment pairs dropped because a point sat inside more
+    than ``rounds`` enlarged rois — the observability counter for this cap
+    (the reference CUDA op pairs every containing roi,
+    ops/dynamic_point_pool_op.py:12)."""
     n = points_xyz.shape[0]
     r = rois.shape[0]
     ex = jnp.asarray(extra_wlh, jnp.float32)
@@ -74,24 +80,26 @@ def point_roi_membership(points_xyz, pts_valid, pts_batch, rois, roi_valid,
             & (jnp.abs(lz) <= hh[None])
             & v[:, None] & roi_valid[None] & (b[:, None] == roi_batch[None])
         )
+        n_in = inside.sum(axis=1)
+        overflow = jnp.maximum(n_in - rounds, 0).sum().astype(jnp.int32)
         outs = []
         for _ in range(rounds):
             rid = jnp.argmax(inside, axis=1).astype(jnp.int32)
             any_in = inside.any(axis=1)
             outs.append(jnp.where(any_in, rid, -1))
             inside = inside & (jnp.arange(r, dtype=jnp.int32)[None] != rid[:, None])
-        return jnp.stack(outs, -1)
+        return jnp.stack(outs, -1), overflow
 
-    mem = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
-                                  pv.reshape(-1, chunk),
-                                  pb.reshape(-1, chunk)))
-    return mem.reshape(-1, rounds)[:n]
+    mem, overflow = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
+                                            pv.reshape(-1, chunk),
+                                            pb.reshape(-1, chunk)))
+    return mem.reshape(-1, rounds)[:n], overflow.sum()
 
 
 def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
                        roi_batch, extra_wlh=(0.5, 0.5, 0.5),
                        max_inbox_point: int = 256,
-                       membership_rounds: int = 2, chunk: int = 16384):
+                       membership_rounds: int = 4, chunk: int = 16384):
     """[R, K] in-box point pairing + 13-dim geometry.
 
     Sort-based pairing (reference dynamic_point_pool_op.py:12 caps without
@@ -109,9 +117,9 @@ def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
     k = max_inbox_point
     ex = jnp.asarray(extra_wlh, jnp.float32)
 
-    mem = point_roi_membership(points_xyz, pts_valid, pts_batch, rois,
-                               roi_valid, roi_batch, extra_wlh,
-                               membership_rounds, chunk)
+    mem, mem_overflow = point_roi_membership(
+        points_xyz, pts_valid, pts_batch, rois, roi_valid, roi_batch,
+        extra_wlh, membership_rounds, chunk)
     pair_roi = mem.T.reshape(-1)  # round-major: primary memberships first
     pair_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), membership_rounds)
     pvalid = pair_roi >= 0
@@ -141,7 +149,8 @@ def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
     geo = jnp.concatenate([geo, pts - proi[:, :3]], axis=-1)
     valid = pv & roi_valid[:, None]
     geo = jnp.where(valid.reshape(-1)[:, None], geo, 0.0).reshape(r, k, 13)
-    return {"idx": idx, "valid": valid, "geo": geo}
+    return {"idx": idx, "valid": valid, "geo": geo,
+            "membership_overflow": mem_overflow}
 
 
 def canonical_gt(rois, gts):
@@ -226,6 +235,10 @@ class GroupCorrectionHead(nn.Module):
     num_classes: int = 3
     extra_wlh: tuple = (0.5, 0.5, 0.5)
     max_inbox_point: int = 256
+    # max rois a single point can be paired with (reference CUDA op pairs all
+    # containing rois). Dropped pairs are counted in losses
+    # ['roi_membership_overflow'] — lift this if the counter goes nonzero.
+    membership_rounds: int = 4
     num_rois: int = 256
     pos_iou_thr: tuple = (0.45, 0.35, 0.35)
     cls_pos_thr: tuple = (0.8, 0.65, 0.65)
@@ -252,7 +265,7 @@ class GroupCorrectionHead(nn.Module):
                          rois, roi_valid, roi_batch, train: bool):
         pool = dynamic_point_pool(
             pts_xyz[:, :3], pts_valid, pts_batch, rois, roi_valid, roi_batch,
-            self.extra_wlh, self.max_inbox_point,
+            self.extra_wlh, self.max_inbox_point, self.membership_rounds,
         )
         r, k = pool["idx"].shape
         flat_idx = pool["idx"].reshape(-1)
@@ -264,7 +277,7 @@ class GroupCorrectionHead(nn.Module):
         pair_feats = jnp.where(pair_valid[:, None], pair_feats, 0.0)
         return self.bbox_head_mod(
             pair_pts, pair_feats, pair_geo, pair_valid, r, train
-        )
+        ) + (pool["membership_overflow"],)
 
     # -------------------------------------------------------------- training
 
@@ -304,7 +317,7 @@ class GroupCorrectionHead(nn.Module):
                 tuple(self.sampler["neg_piece_fractions"]),
                 tuple(self.sampler["neg_iou_piece_thrs"]),
             )
-        cls_score, bbox_pred, nonempty = self.pool_and_forward(
+        cls_score, bbox_pred, nonempty, mem_overflow = self.pool_and_forward(
             pts_xyz, pts_feats, pts_valid, pts_batch,
             proposals[:, :7], prop_valid, prop_batch, train,
         )
@@ -353,6 +366,7 @@ class GroupCorrectionHead(nn.Module):
             "loss_rcnn_bbox": loss_bbox,
             "loss_rcnn_corner": loss_corner,
             "num_pos_rois": is_pos.sum().astype(jnp.float32),
+            "roi_membership_overflow": mem_overflow.astype(jnp.float32),
         }
 
     # -------------------------------------------------------------- testing
@@ -361,7 +375,7 @@ class GroupCorrectionHead(nn.Module):
                 prop_scores, prop_labels, prop_valid, prop_batch,
                 batch_size: int, nms_thr: float = 0.25, score_thr: float = 0.1,
                 max_num: int = 500, use_rotate_nms: bool = True):
-        cls_score, bbox_pred, nonempty = self.pool_and_forward(
+        cls_score, bbox_pred, nonempty, _ = self.pool_and_forward(
             pts_xyz, pts_feats, pts_valid, pts_batch,
             proposals[:, :7], prop_valid, prop_batch, False,
         )

@@ -219,11 +219,15 @@ class SingleStageFSD(nn.Module):
         nearest = jnp.argmin(dmat, axis=1).astype(jnp.int32)
         assigned = vox_valid & (jnp.min(dmat, axis=1) < radius)
         vox_cluster = jnp.where(assigned, nearest, ccap)
+        # points whose voxel overflowed vcap must be dropped, not aliased to
+        # the last real voxel's cluster (matches cluster_class overflow
+        # semantics)
+        in_cap = uniq.seg_ids < vcap
         pt_cluster = jnp.where(
-            sample["valid"],
+            sample["valid"] & in_cap,
             vox_cluster[jnp.minimum(uniq.seg_ids, vcap - 1)], ccap,
         )
-        return pt_cluster, sample["valid"] & (pt_cluster < ccap)
+        return pt_cluster, sample["valid"] & in_cap & (pt_cluster < ccap)
 
     def extract(self, data: dict, batch_size: int, train: bool,
                 thr_extra: float = 0.0):

@@ -361,3 +361,133 @@ class TestArgo2Eval:
         # gravity center z = bottom + h/2
         np.testing.assert_allclose(cub[:, 2],
                                    boxes[:, 2] + boxes[:, 5] / 2)
+
+
+# ---------------------------------------------------------------- round 3
+# matcher performance + greedy-vs-Hungarian deviation quantification
+
+
+def _synthetic_val(n_frames, seed=0, n_gt=25, n_fp=8, det_rate=0.85):
+    """Realistic-density synthetic val split: jittered-gt detections with
+    noisy scores + random false positives."""
+    rng = np.random.RandomState(seed)
+    preds, gts = [], []
+    for _ in range(n_frames):
+        m = rng.randint(n_gt // 2, n_gt + 1)
+        gb = np.concatenate([
+            rng.uniform(-50, 50, (m, 2)), rng.uniform(-1, 1, (m, 1)),
+            rng.uniform(1.5, 5, (m, 3)),
+            rng.uniform(-np.pi, np.pi, (m, 1))], 1).astype(np.float32)
+        gl = rng.randint(0, 3, m).astype(np.int64)
+        npts = rng.randint(0, 50, m)
+        det = rng.rand(m) < det_rate
+        pb = gb[det].copy()
+        pb[:, :2] += rng.normal(0, 0.2, (int(det.sum()), 2))
+        pb[:, 6] += rng.normal(0, 0.1, int(det.sum()))
+        psc = np.clip(rng.normal(0.8, 0.15, int(det.sum())), 0, 1)
+        fb = np.concatenate([
+            rng.uniform(-50, 50, (n_fp, 2)), rng.uniform(-1, 1, (n_fp, 1)),
+            rng.uniform(1.5, 5, (n_fp, 3)),
+            rng.uniform(-np.pi, np.pi, (n_fp, 1))], 1).astype(np.float32)
+        fsc = np.clip(rng.normal(0.3, 0.15, n_fp), 0, 1)
+        preds.append(dict(
+            boxes=np.concatenate([pb, fb]),
+            scores=np.concatenate([psc, fsc]).astype(np.float32),
+            labels=np.concatenate([gl[det], rng.randint(0, 3, n_fp)])))
+        gts.append(dict(boxes=gb, labels=gl, num_points=npts))
+    return preds, gts
+
+
+class TestMatcherPerformance:
+    def test_10k_frames_under_one_minute(self):
+        """VERDICT r2 next-#7 done criterion: 10k-frame synthetic val in
+        < 1 min (the round-2 per-prediction python loop took hours)."""
+        import time
+
+        from sst_tpu.core.eval_waymo import waymo_eval
+
+        preds, gts = _synthetic_val(10000)
+        t0 = time.time()
+        out = waymo_eval(preds, gts)
+        dt = time.time() - t0
+        assert dt < 60.0, f"10k-frame eval took {dt:.1f}s"
+        assert out["Overall/L2 mAPH"] > 50.0  # sanity: matches happened
+
+    def test_greedy_match_exactness(self):
+        """greedy_match == the plain sequential greedy reference loop."""
+        from sst_tpu.core.evaluation import greedy_match
+
+        rng = np.random.RandomState(7)
+        for _ in range(50):
+            n, m = rng.randint(1, 30), rng.randint(0, 15)
+            iou = rng.rand(n, m).astype(np.float32)
+            iou[iou < 0.5] = 0.0
+            order = rng.permutation(n)
+            elig = rng.rand(m) < 0.8
+            got = greedy_match(iou, order, 0.5, elig)
+            want = np.full(n, -1, np.int64)
+            taken = np.zeros(m, bool)
+            for i in order:
+                best, bj = -1.0, -1
+                for j in range(m):
+                    if taken[j] or not elig[j]:
+                        continue
+                    if iou[i, j] > best:
+                        best, bj = iou[i, j], j
+                if bj >= 0 and best >= 0.5:
+                    want[i] = bj
+                    taken[bj] = True
+            np.testing.assert_array_equal(got, want)
+
+
+class TestGreedyVsHungarian:
+    def test_deviation_under_training_noise(self):
+        """Quantifies the documented greedy-matching deviation: on a
+        300-frame realistic synthetic val, |greedy − Hungarian| is ~0.15
+        mAPH points (run-to-run training noise on Waymo is ~±0.3)."""
+        from sst_tpu.core.eval_waymo import waymo_eval
+
+        preds, gts = _synthetic_val(300, seed=1)
+        g = waymo_eval(preds, gts)
+        h = waymo_eval(preds, gts, matcher="hungarian")
+        for key in ("Overall/L1 mAP", "Overall/L1 mAPH",
+                    "Overall/L2 mAP", "Overall/L2 mAPH"):
+            delta = abs(g[key] - h[key])
+            assert delta < 0.5, f"{key}: greedy {g[key]} vs hung {h[key]}"
+
+
+class TestBinaryStdoutParser:
+    STDOUT = """
+OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1: [mAP 0.713284] [mAPH 0.705106]
+OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2: [mAP 0.632087] [mAPH 0.624787]
+OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_1: [mAP 0.800114] [mAPH 0.716605]
+OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2: [mAP 0.716643] [mAPH 0.640034]
+OBJECT_TYPE_TYPE_SIGN_LEVEL_1: [mAP 0] [mAPH 0]
+OBJECT_TYPE_TYPE_SIGN_LEVEL_2: [mAP 0] [mAPH 0]
+OBJECT_TYPE_TYPE_CYCLIST_LEVEL_1: [mAP 0.707153] [mAPH 0.680098]
+OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2: [mAP 0.680137] [mAPH 0.654117]
+RANGE_TYPE_VEHICLE_[0, 30)_LEVEL_1: [mAP 0.912] [mAPH 0.905]
+RANGE_TYPE_VEHICLE_[30, 50)_LEVEL_2: [mAP 0.6] [mAPH 0.59]
+RANGE_TYPE_VEHICLE_[50, INF)_LEVEL_2: [mAP 0.41] [mAPH 0.4]
+"""
+
+    def test_parses_object_type_table(self):
+        from sst_tpu.core.eval_waymo import parse_metrics_stdout
+
+        out = parse_metrics_stdout(self.STDOUT)
+        assert out["Vehicle/L1 mAP"] == 71.3284
+        assert out["Vehicle/L2 mAPH"] == 62.4787
+        assert out["Pedestrian/L1 mAPH"] == 71.6605
+        assert out["Cyclist/L2 mAP"] == 68.0137
+        assert out["Sign/L1 mAP"] == 0.0
+        # Overall = mean of Veh/Ped/Cyc, Sign excluded (reference :449-461)
+        want = round((71.3284 + 80.0114 + 70.7153) / 3, 4)
+        assert out["Overall/L1 mAP"] == want
+
+    def test_parses_range_breakdowns(self):
+        from sst_tpu.core.eval_waymo import parse_metrics_stdout
+
+        out = parse_metrics_stdout(self.STDOUT)
+        assert out["Vehicle/L1 mAP [0, 30)"] == 91.2
+        assert out["Vehicle/L2 mAPH [30, 50)"] == 59.0
+        assert out["Vehicle/L2 mAP [50, inf)"] == 41.0

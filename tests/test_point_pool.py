@@ -72,6 +72,34 @@ def test_pairing_matches_brute_force():
         np.testing.assert_allclose(geo[10:], pts[ni] - rois[ri, :3], atol=1e-5)
 
 
+def test_multi_roi_membership_and_overflow_counter():
+    # one point inside 5 coincident enlarged rois: with rounds=4 the point
+    # reaches 4 rois and the overflow counter records the 1 dropped pair;
+    # with rounds=5 it reaches all 5 and the counter is zero.
+    pts = np.zeros((8, 3), np.float32)
+    pts[1:] += 50.0  # far away, inside nothing
+    rois = np.tile(np.array([[0, 0, -1, 2, 2, 2, 0.0]], np.float32), (5, 1))
+    rois[:, 0] += np.linspace(-0.1, 0.1, 5)  # overlapping, not identical
+    common = dict(
+        extra_wlh=(0.5, 0.5, 0.5), max_inbox_point=8, chunk=8,
+    )
+    args = (jnp.asarray(pts), jnp.ones((8,), bool), jnp.zeros((8,), jnp.int32),
+            jnp.asarray(rois), jnp.ones((5,), bool), jnp.zeros((5,), jnp.int32))
+    out4 = dynamic_point_pool(*args, membership_rounds=4, **common)
+    valid4 = np.asarray(out4["valid"])
+    idx4 = np.asarray(out4["idx"])
+    paired4 = {r for r in range(5) if (valid4[r] & (idx4[r] == 0)).any()}
+    assert len(paired4) == 4
+    assert int(out4["membership_overflow"]) == 1
+
+    out5 = dynamic_point_pool(*args, membership_rounds=5, **common)
+    valid5 = np.asarray(out5["valid"])
+    idx5 = np.asarray(out5["idx"])
+    paired5 = {r for r in range(5) if (valid5[r] & (idx5[r] == 0)).any()}
+    assert paired5 == set(range(5))
+    assert int(out5["membership_overflow"]) == 0
+
+
 def test_per_roi_cap_keeps_first_points():
     # 100 points inside one roi, cap 16 → the 16 lowest point indices survive
     n = 100

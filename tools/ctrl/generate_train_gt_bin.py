@@ -40,7 +40,7 @@ def main():
     for path in paths:
         for rec in wp.read_tfrecord(path):
             frame = wp.parse_frame(rec)
-            cx = frame["context_name"]
+            ctx_name = frame["context_name"]
             ts = frame["timestamp_micros"]
             boxes, labels, ids = [], [], []
             for lab in frame["laser_labels"]:
@@ -48,8 +48,8 @@ def main():
                     continue
                 # label.proto Box order: cx, cy, cz, length, width, height,
                 # heading → lidar row [x, y, z_bottom, w, l, h, yaw]
-                cx, cy, cz, length, width, height, heading = lab["box"]
-                boxes.append([cx, cy, cz - height / 2,
+                bx, by, bz, length, width, height, heading = lab["box"]
+                boxes.append([bx, by, bz - height / 2,
                               width, length, height,
                               -heading - 0.5 * np.pi])
                 labels.append(TYPE2LABEL[lab["type"]])
@@ -59,7 +59,7 @@ def main():
                     boxes=np.asarray(boxes, np.float32),
                     scores=np.ones(len(boxes), np.float32),
                     labels=np.asarray(labels, np.int32),
-                    obj_ids=ids, context_name=cx, timestamp_micros=ts,
+                    obj_ids=ids, context_name=ctx_name, timestamp_micros=ts,
                 ))
 
     write_waymo_bin(args.output, frames_out)
