@@ -403,3 +403,216 @@ def tiny_batch(batch_size: int = 2, num_points: int = 512, seed: int = 0):
         gt_labels=jnp.asarray(rng.randint(0, 3, (batch_size, g)).astype(np.int32)),
         gt_valid=jnp.asarray(np.ones((batch_size, g), bool)),
     )
+
+
+# --------------------------------------------------------------------------
+# tiny builds of the remaining three families (FSD two-stage, FSD++, CTRL)
+# — canonical small configs shared by tests and the multi-chip dryrun
+# (reference capability: all five families train DDP, tools/dist_train.sh:8)
+
+_TINY_FSD_PCR = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
+
+
+def tiny_fsd():
+    """Tiny SingleStageFSD (segmentor → CCL clustering → SIR → cluster head)."""
+    from sst_tpu.models.fsd import FSDCaps, SingleStageFSD
+
+    return SingleStageFSD(
+        point_cloud_range=_TINY_FSD_PCR,
+        score_thresh=(0.05, 0.05, 0.05),
+        cluster_voxel_size=((0.3, 0.3, 6.0), (0.05, 0.05, 6.0),
+                            (0.2, 0.2, 6.0)),
+        connected_dist=(0.6, 0.1, 0.4),
+        min_points=1,
+        pre_voxelization_size=(0.1, 0.1, 0.1),
+        caps=FSDCaps(
+            fg_per_class=(256, 128, 128),
+            cluster_voxels_per_class=(256, 256, 256),
+            clusters_per_class=(32, 32, 32),
+            pre_voxels=1024,
+        ),
+        segmentor=dict(
+            voxel_size=(0.25, 0.25, 0.2),
+            max_voxels=1024,
+            unet_level_caps=(1024, 512, 256, 128),
+            unet_strides=((2, 2, 2),) * 3,
+            unet_paddings=((1, 1, 1),) * 3,
+            vfe=dict(feat_channels=(16, 16), mode="max"),
+            unet=dict(
+                in_channels=16, base_channels=16,
+                encoder_channels=((16,), (16, 16), (32, 32)),
+                decoder_channels=((32, 32, 16), (16, 16, 16), (16, 16, 16)),
+            ),
+            head=dict(num_classes=3, hidden_dims=(32, 32)),
+        ),
+        backbone=dict(
+            num_blocks=2,
+            in_channels=(0, 0),
+            feat_channels=((32, 32), (32, 32)),
+            rel_mlp_hidden=((8, 8), (8, 8)),
+        ),
+        head=dict(
+            in_channel=128,
+            shared_mlp_dims=(64, 64),
+            common_attrs=(("center", 3, 1, 32), ("dim", 3, 1, 32),
+                          ("rot", 2, 1, 32)),
+            num_cls_layer=1,
+            cls_hidden_dim=32,
+        ),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=64, max_num=32,
+                      use_rotate_nms=True),
+    )
+
+
+def _tiny_roi_head_cfg(max_inbox_point: int = 32):
+    return dict(
+        max_inbox_point=max_inbox_point,
+        bbox_head=dict(
+            num_blocks=2,
+            feat_channels=((32, 32),) * 2,
+            rel_mlp_hidden=((8, 8),) * 2,
+            reg_mlp=(64, 64),
+            cls_mlp=(64, 64),
+        ),
+    )
+
+
+def _single_stage_cfg(ss):
+    return {f.name: getattr(ss, f.name)
+            for f in ss.__dataclass_fields__.values()
+            if f.name not in ("parent", "name", "dtype")}
+
+
+def tiny_fsd_two_stage():
+    """Tiny FSD (two-stage: + GroupCorrectionHead / SIR² refinement)."""
+    from sst_tpu.models.fsd import FSD
+
+    return FSD(
+        single_stage=_single_stage_cfg(tiny_fsd()),
+        roi_head=_tiny_roi_head_cfg(),
+        rois_per_sample=16,
+    )
+
+
+def tiny_fsdpp():
+    """Tiny TwoStageFSDPP (incremental multi-frame FSD++)."""
+    from sst_tpu.models.fsd import TwoStageFSDPP
+
+    return TwoStageFSDPP(
+        fsd=dict(
+            single_stage=_single_stage_cfg(tiny_fsd()),
+            roi_head=_tiny_roi_head_cfg(),
+            rois_per_sample=16,
+        ),
+        point_cloud_range=_TINY_FSD_PCR,
+        inc_voxel_size=(0.4, 0.4, 0.4),
+        pre_score_thr=0.1,
+        center_noise=0.1, dim_noise=0.05, yaw_noise=0.1,
+    )
+
+
+def tiny_ctrl():
+    """Tiny CTRL TrackletDetector (tracklet segmentor + track RoI head)."""
+    from sst_tpu.models.ctrl import TrackletDetector
+
+    return TrackletDetector(
+        segmentor=dict(
+            point_cloud_range=(-3.2, -3.2, -4.0, 3.2, 3.2, 4.0),
+            voxel_size=(0.2, 0.2, 0.4),
+            max_voxels=512,
+            unet_level_caps=(512, 256, 128),
+            vfe=dict(feat_channels=(16, 16), mode="max"),
+            unet=dict(
+                in_channels=16, base_channels=16,
+                encoder_channels=((16,), (16, 16), (16, 16)),
+                decoder_channels=((16, 16, 16), (16, 16, 16), (16, 16, 16)),
+            ),
+        ),
+        roi_head=dict(num_classes=1, **_tiny_roi_head_cfg()),
+    )
+
+
+def fsd_batch(rng, b=2, p=1024, g=6):
+    """Clustered PointBatch in the tiny-FSD range so fg/clustering paths
+    are exercised."""
+    import jax.numpy as jnp
+
+    boxes = np.concatenate(
+        [
+            rng.uniform(-6, 6, (b, g, 2)),
+            np.full((b, g, 1), -0.5),
+            rng.uniform(1.0, 3.0, (b, g, 3)),
+            rng.uniform(-np.pi, np.pi, (b, g, 1)),
+        ],
+        -1,
+    ).astype(np.float32)
+    pts = []
+    for i in range(b):
+        obj = boxes[i, rng.randint(0, g, p // 2), :3] \
+            + rng.randn(p // 2, 3) * 0.5
+        bgp = rng.uniform(-7, 7, (p - p // 2, 3))
+        pp = np.concatenate([obj, bgp]).astype(np.float32)
+        pp[:, 2] = np.clip(pp[:, 2], -1.5, 3.5)
+        inten = rng.rand(p, 2).astype(np.float32)
+        pts.append(np.concatenate([pp, inten], -1))
+    return PointBatch(
+        points=jnp.asarray(np.stack(pts)),
+        valid=jnp.ones((b, p), bool),
+        gt_boxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(rng.randint(0, 3, (b, g)).astype(np.int32)),
+        gt_valid=jnp.ones((b, g), bool),
+    )
+
+
+def temporal_batch(rng, b=2, p=1024, g=6, s=8):
+    """TemporalBatch (FSD++): fsd_batch + frame indices + seed boxes."""
+    import jax.numpy as jnp
+
+    from sst_tpu.models.fsd import TemporalBatch
+
+    base = fsd_batch(rng, b, p, g)
+    frame_inds = jnp.asarray(rng.randint(0, 3, (b, p)).astype(np.int32))
+    seed_boxes = np.concatenate(
+        [rng.uniform(-6, 6, (b, s, 2)), np.full((b, s, 1), -0.5),
+         rng.uniform(1, 3, (b, s, 3)), rng.uniform(-3, 3, (b, s, 1))], -1,
+    ).astype(np.float32)
+    return TemporalBatch(
+        points=base.points, valid=base.valid, frame_inds=frame_inds,
+        gt_boxes=base.gt_boxes, gt_labels=base.gt_labels,
+        gt_valid=base.gt_valid,
+        seed_boxes=jnp.asarray(seed_boxes),
+        seed_labels=jnp.asarray(rng.randint(0, 3, (b, s)).astype(np.int32)),
+        seed_scores=jnp.asarray(rng.rand(b, s).astype(np.float32)),
+        seed_valid=jnp.ones((b, s), bool),
+    )
+
+
+def tracklet_batch(rng, b=2, p=512, f=8):
+    """TrackletBatch (CTRL): track-frame points + tracker boxes + gts."""
+    import jax.numpy as jnp
+
+    from sst_tpu.models.ctrl import TrackletBatch
+
+    pts = np.clip(rng.randn(b, p, 3).astype(np.float32), -3.0, 3.0)
+    inten = rng.rand(b, p, 2).astype(np.float32)
+    ts = rng.randint(0, f, (b, p)).astype(np.int32)
+    points = np.concatenate(
+        [pts, inten, ts[..., None].astype(np.float32) * 0.1], -1)
+    trk = np.concatenate(
+        [rng.uniform(-0.5, 0.5, (b, f, 2)), np.full((b, f, 1), -1.0),
+         np.tile([[.9, 2.0, 1.5]], (b, f, 1))
+         * rng.uniform(0.9, 1.1, (b, f, 3)),
+         rng.uniform(-0.3, 0.3, (b, f, 1))], -1,
+    ).astype(np.float32)
+    gt = trk + rng.randn(b, f, 7).astype(np.float32) * 0.05
+    return TrackletBatch(
+        points=jnp.asarray(points),
+        valid=jnp.ones((b, p), bool),
+        frame_inds=jnp.asarray(ts),
+        trk_boxes=jnp.asarray(trk),
+        trk_scores=jnp.asarray(rng.rand(b, f).astype(np.float32)),
+        trk_valid=jnp.ones((b, f), bool),
+        labels=jnp.zeros((b,), jnp.int32),
+        gt_boxes=jnp.asarray(gt),
+        gt_valid=jnp.ones((b, f), bool),
+    )

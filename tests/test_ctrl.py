@@ -5,63 +5,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sst_tpu.models.ctrl import TrackletBatch, TrackletDetector
+from sst_tpu.models.ctrl import TrackletBatch, TrackletDetector  # noqa: F401
+from sst_tpu.flagship import tiny_ctrl as tiny_tracklet_detector  # noqa: F401
+from sst_tpu.flagship import tracklet_batch
 
 
-def tiny_tracklet_detector():
-    return TrackletDetector(
-        segmentor=dict(
-            point_cloud_range=(-3.2, -3.2, -4.0, 3.2, 3.2, 4.0),
-            voxel_size=(0.2, 0.2, 0.4),
-            max_voxels=512,
-            unet_level_caps=(512, 256, 128),
-            vfe=dict(feat_channels=(16, 16), mode="max"),
-            unet=dict(
-                in_channels=16, base_channels=16,
-                encoder_channels=((16,), (16, 16), (16, 16)),
-                decoder_channels=((16, 16, 16), (16, 16, 16), (16, 16, 16)),
-            ),
-        ),
-        roi_head=dict(
-            num_classes=1,
-            max_inbox_point=32,
-            bbox_head=dict(
-                num_blocks=2,
-                feat_channels=((32, 32),) * 2,
-                rel_mlp_hidden=((8, 8),) * 2,
-                reg_mlp=(64, 64),
-                cls_mlp=(64, 64),
-            ),
-        ),
-    )
 
 
 def make_tracklet_batch(rng, b=2, p=512, f=8):
-    # track-frame coords: object roughly at origin each frame
-    pts = rng.randn(b, p, 3).astype(np.float32) * 1.0
-    pts = np.clip(pts, -3.0, 3.0)
-    inten = rng.rand(b, p, 2).astype(np.float32)
-    ts = rng.randint(0, f, (b, p)).astype(np.int32)
-    points = np.concatenate(
-        [pts, inten, ts[..., None].astype(np.float32) * 0.1], -1
-    )
-    trk = np.concatenate(
-        [rng.uniform(-0.5, 0.5, (b, f, 2)), np.full((b, f, 1), -1.0),
-         np.tile([[.9, 2.0, 1.5]], (b, f, 1)) * rng.uniform(0.9, 1.1, (b, f, 3)),
-         rng.uniform(-0.3, 0.3, (b, f, 1))], -1,
-    ).astype(np.float32)
-    gt = trk + rng.randn(b, f, 7).astype(np.float32) * 0.05
-    return TrackletBatch(
-        points=jnp.asarray(points),
-        valid=jnp.ones((b, p), bool),
-        frame_inds=jnp.asarray(ts),
-        trk_boxes=jnp.asarray(trk),
-        trk_scores=jnp.asarray(rng.rand(b, f).astype(np.float32)),
-        trk_valid=jnp.ones((b, f), bool),
-        labels=jnp.zeros((b,), jnp.int32),
-        gt_boxes=jnp.asarray(gt),
-        gt_valid=jnp.ones((b, f), bool),
-    )
+    return tracklet_batch(rng, b, p, f)
 
 
 @pytest.fixture(scope="module")

@@ -12,79 +12,10 @@ from sst_tpu.ops.ccl import compact_labels, connected_components
 
 PCR = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
 
-
-def tiny_fsd():
-    return SingleStageFSD(
-        point_cloud_range=PCR,
-        score_thresh=(0.05, 0.05, 0.05),
-        cluster_voxel_size=((0.3, 0.3, 6.0), (0.05, 0.05, 6.0), (0.2, 0.2, 6.0)),
-        connected_dist=(0.6, 0.1, 0.4),
-        min_points=1,
-        pre_voxelization_size=(0.1, 0.1, 0.1),
-        caps=FSDCaps(
-            fg_per_class=(256, 128, 128),
-            cluster_voxels_per_class=(256, 256, 256),
-            clusters_per_class=(32, 32, 32),
-            pre_voxels=1024,
-        ),
-        segmentor=dict(
-            voxel_size=(0.25, 0.25, 0.2),
-            max_voxels=1024,
-            unet_level_caps=(1024, 512, 256, 128),
-            unet_strides=((2, 2, 2),) * 3,
-            unet_paddings=((1, 1, 1),) * 3,
-            vfe=dict(feat_channels=(16, 16), mode="max"),
-            unet=dict(
-                in_channels=16, base_channels=16,
-                encoder_channels=((16,), (16, 16), (32, 32)),
-                decoder_channels=((32, 32, 16), (16, 16, 16), (16, 16, 16)),
-            ),
-            head=dict(num_classes=3, hidden_dims=(32, 32)),
-        ),
-        backbone=dict(
-            num_blocks=2,
-            in_channels=(0, 0),
-            feat_channels=((32, 32), (32, 32)),
-            rel_mlp_hidden=((8, 8), (8, 8)),
-        ),
-        head=dict(
-            in_channel=128,
-            shared_mlp_dims=(64, 64),
-            common_attrs=(("center", 3, 1, 32), ("dim", 3, 1, 32), ("rot", 2, 1, 32)),
-            num_cls_layer=1,
-            cls_hidden_dim=32,
-        ),
-        test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=64, max_num=32,
-                      use_rotate_nms=True),
-    )
-
-
-def make_batch(rng, b=2, p=1024, g=6):
-    # clustered points around gt boxes so fg/clustering paths are exercised
-    boxes = np.concatenate(
-        [
-            rng.uniform(-6, 6, (b, g, 2)),
-            np.full((b, g, 1), -0.5),
-            rng.uniform(1.0, 3.0, (b, g, 3)),
-            rng.uniform(-np.pi, np.pi, (b, g, 1)),
-        ],
-        -1,
-    ).astype(np.float32)
-    pts = []
-    for i in range(b):
-        obj = boxes[i, rng.randint(0, g, p // 2), :3] + rng.randn(p // 2, 3) * 0.5
-        bgp = rng.uniform(-7, 7, (p - p // 2, 3))
-        pp = np.concatenate([obj, bgp]).astype(np.float32)
-        pp[:, 2] = np.clip(pp[:, 2], -1.5, 3.5)
-        inten = rng.rand(p, 2).astype(np.float32)
-        pts.append(np.concatenate([pp, inten], -1))
-    return PointBatch(
-        points=jnp.asarray(np.stack(pts)),
-        valid=jnp.ones((b, p), bool),
-        gt_boxes=jnp.asarray(boxes),
-        gt_labels=jnp.asarray(rng.randint(0, 3, (b, g)).astype(np.int32)),
-        gt_valid=jnp.ones((b, g), bool),
-    )
+# canonical tiny builds live in sst_tpu.flagship (shared with the driver's
+# multi-chip dryrun)
+from sst_tpu.flagship import fsd_batch as make_batch  # noqa: E402
+from sst_tpu.flagship import tiny_fsd, tiny_fsd_two_stage  # noqa: E402, F401
 
 
 def test_ccl_basic():
@@ -147,27 +78,6 @@ def test_fsd_predict(fsd_setup):
     assert out["boxes"].shape == (2, 32, 7)
     assert np.isfinite(np.asarray(out["boxes"])).all()
 
-
-def tiny_fsd_two_stage():
-    from sst_tpu.models.fsd import FSD
-
-    ss = tiny_fsd()
-    cfg = {f.name: getattr(ss, f.name) for f in ss.__dataclass_fields__.values()
-           if f.name not in ("parent", "name", "dtype")}
-    return FSD(
-        single_stage=cfg,
-        roi_head=dict(
-            max_inbox_point=32,
-            bbox_head=dict(
-                num_blocks=2,
-                feat_channels=((32, 32),) * 2,
-                rel_mlp_hidden=((8, 8),) * 2,
-                reg_mlp=(64, 64),
-                cls_mlp=(64, 64),
-            ),
-        ),
-        rois_per_sample=16,
-    )
 
 
 @pytest.fixture(scope="module")

@@ -12,7 +12,8 @@ from sst_tpu.ops.incremental import (
     delta_points_mask,
     points_frame_transform,
 )
-from tests.test_fsd import make_batch, tiny_fsd
+from sst_tpu.flagship import fsd_batch as make_batch  # noqa: F401
+from sst_tpu.flagship import tiny_fsdpp, temporal_batch  # noqa: F401
 
 PCR = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
 
@@ -58,49 +59,10 @@ def test_delta_points_mask():
     assert m[2]  # out of range → kept
 
 
-def tiny_fsdpp():
-    ss = tiny_fsd()
-    cfg = {f.name: getattr(ss, f.name) for f in ss.__dataclass_fields__.values()
-           if f.name not in ("parent", "name", "dtype")}
-    return TwoStageFSDPP(
-        fsd=dict(
-            single_stage=cfg,
-            roi_head=dict(
-                max_inbox_point=32,
-                bbox_head=dict(
-                    num_blocks=2,
-                    feat_channels=((32, 32),) * 2,
-                    rel_mlp_hidden=((8, 8),) * 2,
-                    reg_mlp=(64, 64),
-                    cls_mlp=(64, 64),
-                ),
-            ),
-            rois_per_sample=16,
-        ),
-        point_cloud_range=PCR,
-        inc_voxel_size=(0.4, 0.4, 0.4),
-        pre_score_thr=0.1,
-        center_noise=0.1, dim_noise=0.05, yaw_noise=0.1,
-    )
 
 
 def make_temporal_batch(rng, b=2, p=1024, g=6, s=8):
-    base = make_batch(rng, b, p, g)
-    frame_inds = jnp.asarray(
-        rng.randint(0, 3, (b, p)).astype(np.int32))  # frames 0..2
-    seed_boxes = np.concatenate(
-        [rng.uniform(-6, 6, (b, s, 2)), np.full((b, s, 1), -0.5),
-         rng.uniform(1, 3, (b, s, 3)), rng.uniform(-3, 3, (b, s, 1))], -1,
-    ).astype(np.float32)
-    return TemporalBatch(
-        points=base.points, valid=base.valid, frame_inds=frame_inds,
-        gt_boxes=base.gt_boxes, gt_labels=base.gt_labels,
-        gt_valid=base.gt_valid,
-        seed_boxes=jnp.asarray(seed_boxes),
-        seed_labels=jnp.asarray(rng.randint(0, 3, (b, s)).astype(np.int32)),
-        seed_scores=jnp.asarray(rng.rand(b, s).astype(np.float32)),
-        seed_valid=jnp.ones((b, s), bool),
-    )
+    return temporal_batch(rng, b, p, g, s)
 
 
 @pytest.fixture(scope="module")

@@ -63,3 +63,52 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def _family_setup(mk_model, mk_batch, seed=0):
+    rng = np.random.RandomState(seed)
+    model = mk_model()
+    batch = mk_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1),
+         "seeds": jax.random.PRNGKey(2)},
+        batch, train=False,
+    )
+    state = create_train_state(
+        model, variables, make_optimizer(base_lr=1e-4, total_steps=100))
+    return model, state, batch
+
+
+def _mesh_step(mk_model, mk_batch):
+    """8-device DP train step executes with finite loss and real updates.
+
+    (No mesh-vs-single numerical cross-check here: that would double the
+    compile cost, and test_eight_device_dp_step already proves the
+    mesh/single agreement property of make_jitted_train_step itself.)"""
+    model, state, batch = _family_setup(mk_model, mk_batch)
+    mesh = make_data_mesh()
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        step = make_jitted_train_step(model, mesh)
+        new_state, metrics = step(state, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(new_state.step) == 1
+
+
+def test_fsd_two_stage_mesh_step():
+    from sst_tpu.flagship import fsd_batch, tiny_fsd_two_stage
+
+    _mesh_step(tiny_fsd_two_stage, lambda rng: fsd_batch(rng, b=8, p=512))
+
+
+def test_fsdpp_temporal_batch_mesh_step():
+    from sst_tpu.flagship import temporal_batch, tiny_fsdpp
+
+    _mesh_step(tiny_fsdpp, lambda rng: temporal_batch(rng, b=8, p=512))
+
+
+def test_ctrl_tracklet_batch_mesh_step():
+    from sst_tpu.flagship import tiny_ctrl, tracklet_batch
+
+    _mesh_step(tiny_ctrl, lambda rng: tracklet_batch(rng, b=8, p=256))
