@@ -1,19 +1,28 @@
-"""End-to-end inference benchmark on the flagship SST-Waymo model.
+"""End-to-end inference benchmark across all five model families.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "mfu": ..., "breakdown": {...}, per-family fps fields}
 
-The reference publishes no in-repo FPS (SURVEY §6); its measurement tool is
-tools/analysis_tools/benchmark.py (single GPU, batch 1, warmup+loop) and
-community-reported SST-Waymo inference on high-end GPUs is ~10 FPS. We use
-ASSUMED_REF_FPS = 10.0 as the vs_baseline denominator until a measured
-reference number replaces it.
+Baseline provenance (vs_baseline denominator): the reference repo publishes
+no FPS number (SURVEY §6) and its papers are not fetchable from this
+sandbox, so the denominator is anchored on the closest published figure in
+the reference's own comparison set: CenterPoint — the detector the FSD line
+positions itself against on speed — publishes **11 FPS end-to-end on Waymo**
+(arXiv:2006.11275). The reference FSD/FSDv2 e2e pipeline is substantially
+host-bound (CPU connected-components clustering — the reference's own docs
+warn about it, docs/overall_instructions.md:50 — plus per-class python
+loops), so its e2e FPS does not scale with GPU generation; REF_FPS = 11.0
+is therefore used for the A100 reference, with the full argument +
+analytic A100 roofline recorded in BASELINE.md. Until a measured reference
+number exists this remains an anchored estimate, not a measurement.
 
 Backend notes (axon remote TPU): block_until_ready does not synchronize and
 eager op dispatch round-trips the remote compiler per op, so (a) everything —
 including flax init — runs under one jit, and (b) timing uses the slope
 method: wall time of N2 vs N1 enqueued iterations, each batch drained by a
-host fetch of a scalar.
+host fetch of a scalar. Frames are cycled from a small pool of distinct
+random frames so the number is a mean over inputs, not one frame.
 """
 
 from __future__ import annotations
@@ -21,7 +30,15 @@ from __future__ import annotations
 import json
 import time
 
-ASSUMED_REF_FPS = 10.0
+# CenterPoint's published Waymo e2e FPS (arXiv:2006.11275); see module
+# docstring + BASELINE.md "Reference-speed anchor" for why this anchors the
+# A100 reference for the host-bound mmdet3d FSD pipeline.
+REF_FPS = 11.0
+BASELINE_PROVENANCE = (
+    "CenterPoint-published 11 FPS Waymo e2e (arXiv:2006.11275); reference "
+    "FSD pipeline is host-bound (CPU CCL) so e2e FPS ~GPU-independent; "
+    "see BASELINE.md"
+)
 
 
 def _drain(out):
@@ -31,18 +48,83 @@ def _drain(out):
 
 
 def slope_time(f, n1: int = 3, n2: int = 13):
+    """Average seconds/call via the slope method (see module docstring)."""
     t0 = time.perf_counter()
     o = None
-    for _ in range(n1):
-        o = f()
+    for i in range(n1):
+        o = f(i)
     _drain(o)
     ta = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(n2):
-        o = f()
+    for i in range(n2):
+        o = f(i)
     _drain(o)
     tb = time.perf_counter() - t0
     return (tb - ta) / (n2 - n1)
+
+
+def _init_jit(model, batch, rngs=None):
+    import jax
+
+    rngs = rngs or {"params": jax.random.PRNGKey(0),
+                    "shuffle": jax.random.PRNGKey(1),
+                    "sampler": jax.random.PRNGKey(2),
+                    "seeds": jax.random.PRNGKey(3)}
+    return jax.jit(lambda b: model.init(rngs, b, train=False))(batch)
+
+
+def _frame_pool(mk_batch, n: int = 4):
+    """n distinct random frames (same static shapes, different content) so
+    the reported latency is a mean over inputs, not one frame."""
+    return [mk_batch(seed) for seed in range(n)]
+
+
+def _bench_predict(model, frames, variables=None, with_analysis=False):
+    """Returns dict(per_frame_s, + optional flops/mfu/breakdown)."""
+    import jax
+
+    from sst_tpu.utils.profiling import (
+        compiled_flops,
+        mfu,
+        trace_and_breakdown,
+    )
+
+    if variables is None:
+        variables = _init_jit(model, frames[0])
+    _drain(variables)
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
+    compiled = None
+    if with_analysis:
+        try:
+            compiled = predict.lower(variables, frames[0]).compile()
+            predict = compiled  # reuse the lowered executable (one compile)
+        except Exception:
+            compiled = None
+    _drain(predict(variables, frames[0]))
+    for fr in frames[1:]:  # warm data upload per frame
+        _drain(predict(variables, fr))
+    per = slope_time(lambda i: predict(variables, frames[i % len(frames)]))
+    out = {"per_frame_s": per}
+    if with_analysis:
+        flops = compiled_flops(compiled) if compiled is not None else None
+        if flops:
+            out["model_tflops_per_frame"] = round(flops / 1e12, 3)
+            out["mfu"] = mfu(flops, per)
+        try:
+            bd = trace_and_breakdown(
+                lambda: predict(variables, frames[0]), _drain)
+            out["breakdown"] = {
+                "device_ms_per_frame": bd["per_iter_ms"],
+                "mxu_pct_lower_bound": bd["mxu_pct_lower_bound"],
+                "classes_ms": dict(list(
+                    bd["classes_per_iter_ms"].items())[:8]),
+            }
+        except Exception as e:
+            out["breakdown_error"] = repr(e)[:150]
+    return out
+
+
+# ------------------------------------------------------------- per family
 
 
 def bench_fsdv2(num_points: int = 196608):
@@ -54,31 +136,39 @@ def bench_fsdv2(num_points: int = 196608):
     the two gather-bound sparse UNets replaced by MXU-native dense convs
     (models/dense_bev.py). The spconv-topology build remains available via
     fsdv2_waymo(backbone="sparse")."""
-    import jax
-
     from sst_tpu.flagship import fsdv2_waymo, synthetic_waymo_batch
 
     model = fsdv2_waymo()
-    batch = synthetic_waymo_batch(
-        batch_size=1, num_points=num_points, num_extra_feats=2, pcr_half=79.8
-    )
-    variables = jax.jit(
-        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
-    )(batch)
-    _drain(variables)
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
-    _drain(predict(variables, batch))
-    return slope_time(lambda: predict(variables, batch))
+    frames = _frame_pool(lambda s: synthetic_waymo_batch(
+        batch_size=1, num_points=num_points, num_extra_feats=2,
+        pcr_half=79.8, seed=s))
+    return _bench_predict(model, frames, with_analysis=True)
+
+
+def bench_fsdv2_sparse(num_points: int = 196608):
+    """Reference-topology FSDv2 (sparse 3D UNet segmentor + sparse mixer) —
+    the quality-parity anchor build."""
+    from sst_tpu.flagship import fsdv2_waymo, synthetic_waymo_batch
+
+    model = fsdv2_waymo(backbone="sparse")
+    frames = _frame_pool(lambda s: synthetic_waymo_batch(
+        batch_size=1, num_points=num_points, num_extra_feats=2,
+        pcr_half=79.8, seed=s))
+    return _bench_predict(model, frames, with_analysis=True)
 
 
 def bench_sst(num_points: int = 196608):
-    """Secondary: SST-Waymo (DynamicVoxelNet) e2e inference."""
+    """SST-Waymo (DynamicVoxelNet) e2e inference. bf16 compute policy is the
+    measured default (configs/sst/sst_waymoD5_3class_bf16.py; fp32 islands
+    stay where the config keeps them)."""
     import jax
+    import jax.numpy as jnp
 
     from sst_tpu.flagship import sst_waymo, synthetic_waymo_batch
 
     # init params on a tiny-caps clone (params are capacity-independent)
-    tmp = sst_waymo(max_points=2048, max_voxels=1024, train_buckets=False)
+    tmp = sst_waymo(max_points=2048, max_voxels=1024, train_buckets=False,
+                    dtype=jnp.bfloat16)
     small = tmp.clone(
         max_total_windows=256,
         buckets=tuple(b.replace(max_windows=32) for b in tmp.buckets),
@@ -92,15 +182,117 @@ def bench_sst(num_points: int = 196608):
     )(sb)
     _drain(variables)
 
-    model = sst_waymo(max_points=num_points, max_voxels=65536, train_buckets=False)
-    batch = synthetic_waymo_batch(batch_size=1, num_points=num_points)
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
-    _drain(predict(variables, batch))
-    return slope_time(lambda: predict(variables, batch))
+    model = sst_waymo(max_points=num_points, max_voxels=65536,
+                      train_buckets=False, dtype=jnp.bfloat16)
+    frames = _frame_pool(lambda s: synthetic_waymo_batch(
+        batch_size=1, num_points=num_points, seed=s))
+    return _bench_predict(model, frames, variables=variables,
+                          with_analysis=True)
 
 
-def _bench_subprocess(which: str, num_points: int) -> float:
-    """Run one model's bench in a FRESH process and return sec/frame.
+def bench_fsd(num_points: int = 196608):
+    """FSD two-stage (CCL + SIR + SIR² RoI — the heaviest path), full-scale
+    configs/fsd/fsd_waymoD1_1x.py."""
+    import sst_tpu.models  # noqa: F401  (registry population)
+    from sst_tpu.flagship import synthetic_waymo_batch
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config
+
+    cfg = load_config("configs/fsd/fsd_waymoD1_1x.py")
+    model = build_model_from_cfg(cfg, train=False)
+    frames = _frame_pool(lambda s: synthetic_waymo_batch(
+        batch_size=1, num_points=num_points, num_extra_feats=2,
+        pcr_half=79.8, seed=s))
+    return _bench_predict(model, frames)
+
+
+def bench_fsdpp(num_points: int = 262144):
+    """FSD++ per-frame amortized cost: one TwoStageFSDPP.predict on a
+    residual+seed-crop TemporalBatch at configs/fsdpp caps (the sequential
+    eval loop adds only host bookkeeping around this call)."""
+    import numpy as np
+
+    import sst_tpu.models  # noqa: F401
+    from sst_tpu.flagship import synthetic_waymo_batch
+    from sst_tpu.models.fsd import TemporalBatch
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config
+
+    cfg = load_config("configs/fsdpp/fsdpp_waymo_2x.py")
+    model = build_model_from_cfg(cfg, train=False)
+
+    def mk(seed):
+        import jax.numpy as jnp
+
+        base = synthetic_waymo_batch(
+            batch_size=1, num_points=num_points, num_extra_feats=2,
+            pcr_half=79.8, seed=seed)
+        rng = np.random.RandomState(seed)
+        s = 256
+        seeds = np.concatenate(
+            [rng.uniform(-70, 70, (1, s, 2)), np.full((1, s, 1), -0.5),
+             rng.uniform(1, 5, (1, s, 3)),
+             rng.uniform(-np.pi, np.pi, (1, s, 1))], -1).astype(np.float32)
+        return TemporalBatch(
+            points=base.points, valid=base.valid,
+            frame_inds=jnp.asarray(
+                rng.randint(0, 7, base.points.shape[:2]).astype(np.int32)),
+            gt_boxes=base.gt_boxes, gt_labels=base.gt_labels,
+            gt_valid=base.gt_valid,
+            seed_boxes=jnp.asarray(seeds),
+            seed_labels=jnp.asarray(
+                rng.randint(0, 3, (1, s)).astype(np.int32)),
+            seed_scores=jnp.asarray(rng.rand(1, s).astype(np.float32)),
+            seed_valid=jnp.ones((1, s), bool),
+        )
+
+    return _bench_predict(model, _frame_pool(mk))
+
+
+def bench_ctrl():
+    """CTRL per-track refinement latency: one TrackletDetector.predict on a
+    full-cap track (configs/ctrl/ctrl_veh_24e.py: 32768 points, 200
+    frames)."""
+    import numpy as np
+
+    import sst_tpu.models  # noqa: F401
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config
+
+    cfg = load_config("configs/ctrl/ctrl_veh_24e.py")
+    model = build_model_from_cfg(cfg, train=False)
+
+    def mk(seed):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(seed)
+        b, p, f = 1, 32768, 200
+        pts = np.clip(rng.randn(b, p, 3).astype(np.float32) * 1.5, -6, 6)
+        ts = rng.randint(0, f, (b, p)).astype(np.int32)
+        points = np.concatenate(
+            [pts, rng.rand(b, p, 2).astype(np.float32),
+             ts[..., None].astype(np.float32) * 0.1], -1)
+        trk = np.concatenate(
+            [rng.uniform(-0.5, 0.5, (b, f, 2)), np.full((b, f, 1), -1.0),
+             np.tile([[1.9, 4.5, 1.7]], (b, f, 1))
+             * rng.uniform(0.9, 1.1, (b, f, 3)),
+             rng.uniform(-0.3, 0.3, (b, f, 1))], -1).astype(np.float32)
+        from sst_tpu.models.ctrl import TrackletBatch
+
+        return TrackletBatch(
+            points=jnp.asarray(points), valid=jnp.ones((b, p), bool),
+            frame_inds=jnp.asarray(ts), trk_boxes=jnp.asarray(trk),
+            trk_scores=jnp.asarray(rng.rand(b, f).astype(np.float32)),
+            trk_valid=jnp.ones((b, f), bool),
+            labels=jnp.zeros((b,), jnp.int32),
+            gt_boxes=jnp.asarray(trk), gt_valid=jnp.ones((b, f), bool),
+        )
+
+    return _bench_predict(model, _frame_pool(mk, n=2))
+
+
+def _bench_subprocess(which: str, timeout: int = 1500) -> dict:
+    """Run one family's bench in a FRESH process and return its dict.
 
     Same-process back-to-back measurement penalizes whichever model runs
     second (~17 ms on SST p50 after the FSDv2 pass — allocator/TPU state
@@ -112,52 +304,61 @@ def _bench_subprocess(which: str, num_points: int) -> float:
 
     code = (
         "import json, bench; "
-        f"per = bench.bench_{which}({num_points}); "
-        "print('BENCHRESULT ' + json.dumps(per))"
+        f"out = bench.bench_{which}(); "
+        "print('BENCHRESULT ' + json.dumps(out))"
     )
     r = subprocess.run(
         [sys.executable, "-c", code],
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True, text=True, timeout=1500,
+        capture_output=True, text=True, timeout=timeout,
     )
     for line in r.stdout.splitlines():
         if line.startswith("BENCHRESULT "):
-            return float(line.split()[1])
+            return json.loads(line[len("BENCHRESULT "):])
     raise RuntimeError(
         f"bench_{which} subprocess failed rc={r.returncode}: "
         f"{(r.stderr or r.stdout)[-500:]}")
 
 
 def main():
-    num_points = 196608
     try:
-        per_frame = _bench_subprocess("fsdv2", num_points)
+        primary = _bench_subprocess("fsdv2")
     except Exception:
-        per_frame = bench_fsdv2(num_points)  # in-process fallback
+        primary = bench_fsdv2()  # in-process fallback
+    per_frame = primary["per_frame_s"]
     fps = 1.0 / per_frame
+
     extra = {}
-    try:
-        sst_per = _bench_subprocess("sst", num_points)
-        extra = {
-            "sst_fps": round(1.0 / sst_per, 3),
-            "sst_p50_latency_ms": round(sst_per * 1e3, 2),
-        }
-    except Exception as e:  # secondary metric must not sink the primary
-        extra = {"sst_error": repr(e)[:200]}
-    print(
-        json.dumps(
-            {
-                "metric": "fsdv2_waymo_e2e_inference_fps_batch1",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / ASSUMED_REF_FPS, 3),
-                "p50_latency_ms": round(per_frame * 1e3, 2),
-                "num_points": num_points,
-                "note": "synthetic Waymo-density frame; dense-BEV TPU-native flagship; vs_baseline uses assumed 10 FPS A100 reference (no in-repo number exists; see BASELINE.md)",
-                **extra,
-            }
-        )
-    )
+    for fam, key in (("sst", "sst"), ("fsd", "fsd_two_stage"),
+                     ("fsdpp", "fsdpp"), ("ctrl", "ctrl")):
+        try:
+            r = _bench_subprocess(fam)
+            unit = "tracks" if fam == "ctrl" else "frames"
+            extra[f"{key}_fps"] = round(1.0 / r["per_frame_s"], 3)
+            extra[f"{key}_p50_latency_ms"] = round(r["per_frame_s"] * 1e3, 2)
+            if "mfu" in r:
+                extra[f"{key}_mfu"] = r["mfu"]
+        except Exception as e:  # secondary metrics must not sink the primary
+            extra[f"{key}_error"] = repr(e)[:200]
+
+    rec = {
+        "metric": "fsdv2_waymo_e2e_inference_fps_batch1",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REF_FPS, 3),
+        "p50_latency_ms": round(per_frame * 1e3, 2),
+        "baseline_ref_fps": REF_FPS,
+        "baseline_provenance": BASELINE_PROVENANCE,
+        "note": "synthetic Waymo-density frames (mean over 4); dense-BEV "
+                "TPU-native flagship",
+    }
+    if "mfu" in primary:
+        rec["mfu"] = primary["mfu"]
+        rec["model_tflops_per_frame"] = primary.get("model_tflops_per_frame")
+    if "breakdown" in primary:
+        rec["breakdown"] = primary["breakdown"]
+    rec.update(extra)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

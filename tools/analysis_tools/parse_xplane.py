@@ -7,56 +7,39 @@ import + TorchTimer): run a model under sst_tpu.utils.timer.trace(), then
   python tools/analysis_tools/parse_xplane.py /tmp/sst_tpu_trace
 
 prints device-time totals by op category and the top individual fusions.
+The parsing core lives in sst_tpu.utils.profiling (shared with bench.py's
+MFU/breakdown reporting).
 """
 
 from __future__ import annotations
 
-import collections
-import glob
-import re
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+# must be set BEFORE the first protobuf import: under the default upb impl
+# on this image the XSpace parses silently empty. Safe here — this CLI
+# never imports jax (the axon RPC stack hangs under the python impl).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def main(logdir: str, top: int = 30):
-    try:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    except ImportError as e:  # pragma: no cover
-        raise SystemExit(
-            "needs tensorflow's xplane proto; set "
-            "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python if protobuf "
-            "versions clash"
-        ) from e
+    from sst_tpu.utils.profiling import parse_xplane_dir
 
-    files = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.xplane.pb"))
-    if not files:
-        raise SystemExit(f"no xplane.pb under {logdir}")
-    xs = xplane_pb2.XSpace()
-    with open(files[-1], "rb") as f:
-        xs.ParseFromString(f.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name:
-            continue
-        md = {k: v.name for k, v in plane.event_metadata.items()}
-        tot = collections.Counter()
-        cnt = collections.Counter()
-        indiv = collections.Counter()
-        for line in plane.lines:
-            for ev in line.events:
-                name = md.get(ev.metadata_id, "?")
-                if name.startswith("jit_"):
-                    continue
-                m = re.search(r"= \S+ (\w[\w-]*)\(", name)
-                cat = m.group(1) if m else name.split(" ")[0]
-                tot[cat] += ev.duration_ps
-                cnt[cat] += 1
-                indiv[name[:120]] += ev.duration_ps
-        print(f"== plane: {plane.name}")
-        print("-- by category --")
-        for c, ps in tot.most_common(12):
-            print(f"{ps / 1e9:9.2f} ms  n={cnt[c]:5d}  {c}")
-        print(f"-- top {top} ops --")
-        for n, ps in indiv.most_common(top):
-            print(f"{ps / 1e9:9.2f} ms  {n}")
+    bd = parse_xplane_dir(logdir)
+    print(f"== device total: {bd['total_ms']:.2f} ms  "
+          f"(MXU >= {bd['mxu_pct_lower_bound']:.1f}%)")
+    print("-- by class --")
+    for c, ms in bd["classes"].items():
+        print(f"{ms:9.2f} ms  {c}")
+    print("-- by category --")
+    for c, ms in list(bd["categories"].items())[:12]:
+        print(f"{ms:9.2f} ms  n={bd['counts'].get(c, 0):5d}  {c}")
+    print(f"-- top {top} ops --")
+    for n, ms in bd["top_ops"][:top]:
+        print(f"{ms:9.2f} ms  {n}")
 
 
 if __name__ == "__main__":
