@@ -58,6 +58,9 @@ class Custom3DDataset:
         self.data_root = data_root
         with open(info_path, "rb") as f:
             self.infos = pickle.load(f)
+        if isinstance(self.infos, dict) and "infos" in self.infos:
+            # reference-format pkl: dict(infos=[...], metadata=...)
+            self.infos = self.infos["infos"]
         self.infos = self.infos[::load_interval]
         self.classes = list(classes or self.CLASSES)
         self.test_mode = test_mode

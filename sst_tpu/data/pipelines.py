@@ -182,7 +182,8 @@ class PadToCap:
         b = sample.get("gt_boxes")
         if b is not None:
             g = min(len(b), self.max_gt)
-            dim = b.shape[1] if len(b) else 7
+            # an empty (0, 9) velocity-coded array must keep its width
+            dim = b.shape[1] if getattr(b, "ndim", 1) == 2 else 7
             out_b = np.zeros((self.max_gt, dim), np.float32)
             out_l = np.zeros(self.max_gt, np.int32)
             gv = np.zeros(self.max_gt, bool)

@@ -99,6 +99,23 @@ def build_train_dataset(cfg, model, synthetic: bool = False, seed: int = 0,
             pipeline=build_pipeline(train_pipeline_cfg),
             **kw,
         )
+    elif ds_kind == "nuscenes":
+        from sst_tpu.data.datasets import CBGSDataset, NuScenesDataset
+
+        kw = {}
+        for k in ("load_dim", "use_dim", "with_velocity"):
+            if k in data_cfg:
+                kw[k] = data_cfg[k]
+        dataset = NuScenesDataset(
+            data_root=data_cfg.get("data_root", "data/nuscenes"),
+            info_path=data_cfg.get(
+                "info_path", "data/nuscenes/nuscenes_infos_train.pkl"),
+            load_interval=data_cfg.get("load_interval", 1),
+            pipeline=build_pipeline(train_pipeline_cfg),
+            **kw,
+        )
+        if data_cfg.get("cbgs", False):
+            dataset = CBGSDataset(dataset)
     else:
         raise ValueError(f"unknown data.dataset {ds_kind!r}")
 

@@ -111,6 +111,17 @@ def convert_waymo(args):
           f"→ {args.save_dir}")
 
 
+def convert_nuscenes(args):
+    from tools.data_converter.nuscenes_converter import create_nuscenes_infos
+
+    val_names = None
+    if args.val_scenes:
+        val_names = {ln.strip() for ln in open(args.val_scenes) if ln.strip()}
+    create_nuscenes_infos(args.root_path, args.info_prefix, args.version,
+                          args.max_sweeps, val_names, args.val_ratio,
+                          args.out_dir)
+
+
 def create_kitti_infos(args):
     split_file = os.path.join(args.data_root, "ImageSets", f"{args.split}.txt")
     ids = [l.strip() for l in open(split_file) if l.strip()]
@@ -180,6 +191,18 @@ def main():
     w.add_argument("--split", default="train")
     w.add_argument("--test-mode", action="store_true")
     w.set_defaults(func=convert_waymo)
+
+    n = sub.add_parser(
+        "nuscenes", help="nuScenes JSON tables → train/val info pkls "
+        "(devkit-free; tools/data_converter/nuscenes_converter.py)")
+    n.add_argument("--root-path", required=True)
+    n.add_argument("--version", default="v1.0-trainval")
+    n.add_argument("--info-prefix", default="nuscenes")
+    n.add_argument("--max-sweeps", type=int, default=10)
+    n.add_argument("--val-scenes", default=None)
+    n.add_argument("--val-ratio", type=float, default=0.0)
+    n.add_argument("--out-dir", default=None)
+    n.set_defaults(func=convert_nuscenes)
 
     args = ap.parse_args()
     args.func(args)
