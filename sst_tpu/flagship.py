@@ -616,3 +616,102 @@ def tracklet_batch(rng, b=2, p=512, f=8):
         gt_boxes=jnp.asarray(gt),
         gt_valid=jnp.ones((b, f), bool),
     )
+
+
+# --------------------------------------------------------------------------
+# labeled synthetic scenes: gt boxes GENERATE their points, so detection
+# quality on held-out scenes is a meaningful metric (dense-vs-sparse A/B,
+# convergence soaks). Class size priors follow the Waymo anchor sizes.
+
+_CLASS_SIZE_PRIORS = (
+    # (l_lo, l_hi, w_lo, w_hi, h_lo, h_hi)
+    (3.8, 5.5, 1.7, 2.2, 1.5, 2.0),   # Car / Vehicle
+    (0.6, 1.0, 0.6, 1.0, 1.6, 1.9),   # Pedestrian
+    (1.6, 2.0, 0.6, 0.9, 1.5, 1.9),   # Cyclist
+)
+
+
+def synthetic_labeled_batch(batch_size: int = 1, num_points: int = 196608,
+                            seed: int = 0, num_extra_feats: int = 2,
+                            pcr_half: float = 79.8, num_objects: int = 48,
+                            size_scale: float = 1.0):
+    """Waymo-like scene whose gt boxes OWN their points.
+
+    Background = the lidar-like generator of synthetic_waymo_batch (ground
+    rings + vertical clutter); on top, ``num_objects`` boxes with
+    class-dependent size priors each replace a range-scaled number of
+    background points with points sampled inside the (rotated) box. Returns
+    (PointBatch, gt_meta) where gt_meta[i] carries per-box 'num_points' for
+    L1/L2 eval levels."""
+    import jax.numpy as jnp
+
+    base = synthetic_waymo_batch(batch_size, num_points, seed,
+                                 num_extra_feats, pcr_half)
+    rng = np.random.RandomState(seed + 70000)
+    pts = np.asarray(base.points).copy()
+    g = num_objects
+    boxes = np.zeros((batch_size, g, 7), np.float32)
+    labels = rng.randint(0, 3, (batch_size, g)).astype(np.int32)
+    npts_meta = np.zeros((batch_size, g), np.int64)
+    gvalid = np.ones((batch_size, g), bool)
+    for i in range(batch_size):
+        # centers on a coarse grid → no overlapping objects
+        cells = rng.choice((2 * 24) ** 2, size=g, replace=False)
+        cx = (cells % 48 - 24 + rng.uniform(0.25, 0.75, g)) * (pcr_half / 24.4)
+        cy = (cells // 48 - 24 + rng.uniform(0.25, 0.75, g)) * (pcr_half / 24.4)
+        cursor = 0
+        for j in range(g):
+            lo_hi = _CLASS_SIZE_PRIORS[labels[i, j]]
+            l = rng.uniform(lo_hi[0], lo_hi[1]) * size_scale
+            w = rng.uniform(lo_hi[2], lo_hi[3]) * size_scale
+            h = rng.uniform(lo_hi[4], lo_hi[5]) * size_scale
+            yaw = rng.uniform(-np.pi, np.pi)
+            zb = -0.9
+            boxes[i, j] = (cx[j], cy[j], zb, w, l, h, yaw)
+            r = float(np.hypot(cx[j], cy[j]))
+            # beam-density falloff: ~1/r points, scaled by footprint and by
+            # the frame's point budget; never overrun the (static) buffer
+            base = 9000.0 * num_points / 196608
+            n = int(np.clip(base * np.sqrt(l * w) / max(r, 5.0), 8, 1500))
+            n = min(n, num_points - cursor)
+            if n <= 0:  # point budget exhausted: drop the box entirely
+                boxes[i, j, :] = 0
+                gvalid[i, j] = False
+                continue
+            local = np.stack([
+                rng.uniform(-l / 2, l / 2, n),
+                rng.uniform(-w / 2, w / 2, n),
+                rng.uniform(0, h, n)], -1).astype(np.float32)
+            # push most points to the hull (lidar sees surfaces)
+            surf = rng.rand(n) < 0.8
+            ax = rng.randint(0, 2, n)
+            local[surf & (ax == 0), 0] = np.sign(
+                local[surf & (ax == 0), 0]) * l / 2
+            local[surf & (ax == 1), 1] = np.sign(
+                local[surf & (ax == 1), 1]) * w / 2
+            c, s = np.cos(yaw), np.sin(yaw)
+            gx = local[:, 0] * c - local[:, 1] * s + cx[j]
+            gy = local[:, 0] * s + local[:, 1] * c + cy[j]
+            gz = local[:, 2] + zb
+            sl = slice(cursor, cursor + n)
+            pts[i, sl, 0] = gx
+            pts[i, sl, 1] = gy
+            pts[i, sl, 2] = gz
+            npts_meta[i, j] = n
+            cursor += n
+        # shuffle so object points are not index-contiguous
+        perm = rng.permutation(num_points)
+        pts[i] = pts[i][perm]
+    batch = PointBatch(
+        points=jnp.asarray(pts),
+        valid=jnp.asarray(
+            (np.abs(pts[..., 0]) < pcr_half)
+            & (np.abs(pts[..., 1]) < pcr_half)),
+        gt_boxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(labels),
+        gt_valid=jnp.asarray(gvalid),
+    )
+    gt_meta = [dict(boxes=boxes[i][gvalid[i]], labels=labels[i][gvalid[i]],
+                    num_points=npts_meta[i][gvalid[i]])
+               for i in range(batch_size)]
+    return batch, gt_meta
