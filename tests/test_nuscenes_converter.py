@@ -271,3 +271,27 @@ class TestConverter:
         step = make_jitted_train_step(model)
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss_total"]))
+
+    def test_lyft_format_identity_names(self, tmp_path):
+        """fmt='lyft': flat category names pass through unmapped (Lyft's
+        devkit is a nuScenes fork with the same tables; reference
+        counterpart tools/data_converter/lyft_converter.py)."""
+        root = str(tmp_path)
+        _write_tables(root, version="v1.01-train")
+        # overwrite categories with lyft-style flat names
+        tdir = os.path.join(root, "v1.01-train")
+        cats = json.load(open(os.path.join(tdir, "category.json")))
+        anns = json.load(open(os.path.join(tdir, "sample_annotation.json")))
+        for c in cats:
+            c["name"] = "car" if c["token"] == "cat_car" else "animal"
+        for a in anns:
+            a["category_name"] = ("car" if a["instance_token"] == "in_car"
+                                  else "animal")
+        json.dump(cats, open(os.path.join(tdir, "category.json"), "w"))
+        json.dump(anns, open(
+            os.path.join(tdir, "sample_annotation.json"), "w"))
+        paths = create_nuscenes_infos(root, info_prefix="lyft",
+                                      version="v1.01-train", fmt="lyft")
+        with open(paths[0], "rb") as f:
+            infos = pickle.load(f)["infos"]
+        assert set(infos[0]["gt_names"]) == {"car", "animal"}

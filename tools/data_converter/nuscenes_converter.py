@@ -169,7 +169,8 @@ def box_velocity(tables, ann_token: str, max_time_diff: float = 1.5):
 
 
 def _fill_infos(tables: NuScenesTables, train_scene_tokens, max_sweeps: int,
-                test: bool):
+                test: bool, name_mapping=None):
+    name_mapping = NAME_MAPPING if name_mapping is None else name_mapping
     train_infos, val_infos = [], []
     samples = sorted(tables.rows("sample"), key=lambda s: s["timestamp"])
     sd_by_sample = {}
@@ -236,7 +237,7 @@ def _fill_infos(tables: NuScenesTables, train_scene_tokens, max_sweeps: int,
                 locs.append(c)
                 dims.append(a["size"])  # nuScenes size = [w, l, h]
                 yaws.append(quat_yaw(q))
-                names.append(NAME_MAPPING.get(raw_name, raw_name))
+                names.append(name_mapping.get(raw_name, raw_name))
                 v = box_velocity(tables, a["token"])
                 v = np.linalg.inv(l2e_r_mat) @ (np.linalg.inv(e2g_r_mat) @ v)
                 vels.append(v[:2])
@@ -266,7 +267,12 @@ def _fill_infos(tables: NuScenesTables, train_scene_tokens, max_sweeps: int,
 def create_nuscenes_infos(root_path: str, info_prefix: str = "nuscenes",
                           version: str = "v1.0-mini", max_sweeps: int = 10,
                           val_scene_names=None, val_ratio: float = 0.0,
-                          out_dir: str | None = None):
+                          out_dir: str | None = None, fmt: str = "nuscenes"):
+    """fmt="lyft": Lyft L5 ships the same relational table format (its
+    devkit is a nuScenes-devkit fork); its category names are already flat
+    (car/truck/bus/...), so the raw->detection name mapping is identity,
+    and annotations carry no lidar/radar point counts (valid_flag all
+    True). Counterpart of the reference's lyft_converter.py."""
     tables = NuScenesTables(root_path, version)
     test = "test" in version
     scenes = list(tables.rows("scene"))
@@ -282,8 +288,9 @@ def create_nuscenes_infos(root_path: str, info_prefix: str = "nuscenes",
             val_scene_names = set()
     train_tokens = {s["token"] for s in scenes
                     if s["name"] not in set(val_scene_names)}
+    name_mapping = {} if fmt == "lyft" else NAME_MAPPING
     train_infos, val_infos = _fill_infos(tables, train_tokens, max_sweeps,
-                                         test)
+                                         test, name_mapping)
     out_dir = out_dir or root_path
     os.makedirs(out_dir, exist_ok=True)
     meta = dict(version=version)
@@ -315,6 +322,8 @@ def main():
                    help="deterministic name-hash val fraction when no "
                         "--val-scenes is given (trainval only)")
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--format", dest="fmt", default="nuscenes",
+                   choices=("nuscenes", "lyft"))
     args = p.parse_args()
     val_names = None
     if args.val_scenes:
@@ -322,7 +331,7 @@ def main():
                      if ln.strip()}
     create_nuscenes_infos(args.root_path, args.info_prefix, args.version,
                           args.max_sweeps, val_names, args.val_ratio,
-                          args.out_dir)
+                          args.out_dir, args.fmt)
 
 
 if __name__ == "__main__":
