@@ -1,4 +1,5 @@
 from sst_tpu.models.detectors.dynamic_voxelnet import DynamicVoxelNet, PointBatch
+from sst_tpu.models.detectors.pointpillars import PointPillars  # noqa: F401 (registers)
 from sst_tpu.models.fsd import (
     FSD,
     FSDV2,

@@ -164,3 +164,62 @@ def test_tta_predict_inverse_consistency():
     # every view maps back to the same box → weighted NMS merges into one
     assert v.sum() == 1, boxes
     np.testing.assert_allclose(boxes[0][:6], plain[:6], atol=1e-4)
+
+
+class TestPointPillars:
+    """Legacy VoxelNet-family detector (hard pillars + SECOND), SURVEY
+    §2.11 parity-optional row."""
+
+    def _tiny(self):
+        from sst_tpu.models.detectors.pointpillars import PointPillars
+
+        return PointPillars(
+            voxel_size=(0.5, 0.5, 6.0),
+            point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 4.0),
+            max_voxels=512, max_points_per_voxel=8,
+            vfe=dict(feat_channels=(16,)),
+            backbone=dict(out_channels=(16, 32, 32), layer_nums=(1, 1, 1)),
+            neck=dict(out_channels=(16, 16, 16), upsample_strides=(1, 2, 4)),
+            head=dict(
+                num_classes=3, feat_channels=48,
+                anchor_ranges=((-8, -8, -0.03, 8, 8, -0.03),) * 3,
+            ),
+            test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=64,
+                          max_num=32, use_rotate_nms=True),
+        )
+
+    def test_loss_and_predict(self):
+        import jax
+
+        from sst_tpu.flagship import fsd_batch
+
+        rng = np.random.RandomState(0)
+        model = self._tiny()
+        batch = fsd_batch(rng, b=2, p=512)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, method=model.loss,
+                mutable=["batch_stats"])
+            return sum(v for k, v in out.items()
+                       if k.startswith("loss")), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        assert np.isfinite(float(loss)), {k: float(v) for k, v in out.items()}
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads))
+        pred = model.apply(variables, batch, method=model.predict)
+        assert pred["boxes"].shape[0] == 2
+        assert np.isfinite(np.asarray(pred["boxes"])).all()
+
+    def test_config_builds(self):
+        import sst_tpu.models  # noqa: F401
+        from sst_tpu.utils.builders import build_model_from_cfg
+        from sst_tpu.utils.config import load_config
+
+        cfg = load_config("configs/pointpillars/pointpillars_waymoD5_3class.py")
+        m = build_model_from_cfg(cfg, train=False)
+        assert type(m).__name__ == "PointPillars"
