@@ -127,13 +127,22 @@ class SimpleSparseUNet(nn.Module):
     )
     act: str = "relu"
     return_multiscale: bool = False
+    # rematerialize each sparse conv in the backward pass: the gather-GEMM
+    # expands [N, 27, C] neighbor features per conv (~1.4 GB per full-cap
+    # layer), which at flagship scale overflows HBM when stored for the
+    # backward. jax.checkpoint trades one recompute for that storage.
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, plan: UNetPlan, train: bool = False):
         num_stages = len(self.encoder_channels)
-        x = SparseConvLayer(self.base_channels, act=self.act, dtype=self.dtype,
-                            name="conv_input")(
+        conv_cls = nn.remat(SparseConvLayer, static_argnums=(4,)) \
+            if self.remat else SparseConvLayer
+        block_cls = nn.remat(SparseBasicBlock, static_argnums=(4,)) \
+            if self.remat else SparseBasicBlock
+        x = conv_cls(self.base_channels, act=self.act, dtype=self.dtype,
+                     name="conv_input")(
             feats, plan.subm_nbr[0], plan.levels[0].valid, train)
 
         encode = []
@@ -142,12 +151,12 @@ class SimpleSparseUNet(nn.Module):
             for j, c in enumerate(blocks):
                 if i != 0 and j == 0:
                     # strided conv: level i-1 → i
-                    x = SparseConvLayer(
+                    x = conv_cls(
                         c, act=self.act, dtype=self.dtype,
                         name=f"encoder_{i}_{j}_down",
                     )(x, plan.down_nbr[i - 1], plan.levels[i].valid, train)
                 else:
-                    x = SparseConvLayer(
+                    x = conv_cls(
                         c, act=self.act, dtype=self.dtype,
                         name=f"encoder_{i}_{j}",
                     )(x, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
@@ -159,11 +168,11 @@ class SimpleSparseUNet(nn.Module):
         for d, chans in enumerate(self.decoder_channels):
             s = num_stages - d  # 5..1
             lvl = s - 1
-            lateral = SparseBasicBlock(
+            lateral = block_cls(
                 chans[0], act=self.act, dtype=self.dtype, name=f"lateral_{s}"
             )(encode[lvl], plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
             cat = jnp.concatenate([x, lateral], axis=-1)
-            merge = SparseConvLayer(
+            merge = conv_cls(
                 chans[1], act=self.act, dtype=self.dtype, name=f"merge_{s}"
             )(cat, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
             # channel-reduce residual (sparse_unet.py:189-206)
@@ -171,12 +180,12 @@ class SimpleSparseUNet(nn.Module):
             red = cat.reshape(n, chans[1], cin // chans[1]).sum(-1)
             x = merge + red
             if s != 1:
-                x = SparseConvLayer(
+                x = conv_cls(
                     chans[2], act=self.act, dtype=self.dtype,
                     name=f"upsample_{s}",
                 )(x, plan.inv_nbr[lvl - 1], plan.levels[lvl - 1].valid, train)
             else:
-                x = SparseConvLayer(
+                x = conv_cls(
                     chans[2], act=self.act, dtype=self.dtype,
                     name=f"upsample_{s}",
                 )(x, plan.subm_nbr[0], plan.levels[0].valid, train)
@@ -201,6 +210,7 @@ class VirtualVoxelMixer(nn.Module):
     encoder_channels: tuple = ((64,), (64, 64), (64, 64))
     decoder_channels: tuple = ((64, 64, 64), (64, 64, 64), (64, 64, 64))
     act: str = "relu"
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,7 +219,7 @@ class VirtualVoxelMixer(nn.Module):
             base_channels=self.base_channels,
             encoder_channels=self.encoder_channels,
             decoder_channels=self.decoder_channels,
-            act=self.act, dtype=self.dtype, name="unet",
+            act=self.act, remat=self.remat, dtype=self.dtype, name="unet",
         )(feats, plan, train)
         x = SparseConvLayer(
             self.output_channels, act=self.act, dtype=self.dtype, name="conv_out",

@@ -147,3 +147,49 @@ def test_unet_forward_shapes(rng):
     # padding rows stay zero
     inval = ~np.asarray(sg.valid)
     assert np.abs(np.asarray(out["voxel_feats"])[inval]).max() == 0
+
+
+def test_unet_remat_grad_equivalence():
+    """remat=True must change memory behavior only: identical outputs and
+    gradients to the plain build (flagship sparse trains with remat)."""
+    import jax
+
+    from sst_tpu.models.fsd.vote_segmentor import build_unet_plan
+    from sst_tpu.models.sparse_unet import SimpleSparseUNet
+    from sst_tpu.ops.sparse_conv import SparseGrid
+
+    rng = np.random.RandomState(0)
+    n = 64
+    coords = np.unique(
+        np.concatenate([np.zeros((n, 1), np.int64),
+                        rng.randint(0, 8, (n, 3))], 1), axis=0)
+    v = len(coords)
+    pad = np.zeros((96 - v, 4), np.int64)
+    coords = jnp.asarray(np.concatenate([coords, pad]))
+    valid = jnp.asarray(np.arange(96) < v)
+    key = jnp.where(valid, (coords[:, 0] * 8 + coords[:, 1]) * 64
+                    + coords[:, 2] * 8 + coords[:, 3],
+                    jnp.iinfo(jnp.int32).max)
+    sg = SparseGrid(keys=key.astype(jnp.int32), coords=coords.astype(jnp.int32),
+                    valid=valid, grid=(8, 8, 8), batch_size=1)
+    plan = build_unet_plan(sg, (96, 64, 32), ((2, 2, 2),) * 2,
+                           ((1, 1, 1),) * 2)
+    feats = jnp.asarray(rng.randn(96, 8).astype(np.float32))
+    kw = dict(base_channels=8, encoder_channels=((8,), (8, 8), (16, 16)),
+              decoder_channels=((16, 16, 8), (8, 8, 8), (8, 8, 8)))
+    plain = SimpleSparseUNet(remat=False, **kw)
+    rem = SimpleSparseUNet(remat=True, **kw)
+    variables = plain.init(jax.random.PRNGKey(0), feats, plan, False)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, plan, True, mutable=["batch_stats"])
+        return jnp.sum(out["voxel_feats"] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
