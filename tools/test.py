@@ -21,7 +21,12 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-samples", type=int, default=16)
-    p.add_argument("--eval", default="ap3d", choices=["ap3d", "apbev", "none"])
+    p.add_argument("--eval", default="ap3d",
+                   choices=["ap3d", "apbev", "waymo", "none"])
+    p.add_argument("--matcher", default="greedy",
+                   choices=["greedy", "hungarian"],
+                   help="--eval waymo matching scheme (hungarian = "
+                        "official per-cutoff bipartite matching; slower)")
     p.add_argument("--out", default=None, help="write predictions (pkl)")
     p.add_argument(
         "--sequential", action="store_true",
@@ -191,7 +196,13 @@ def main():
         with open(args.out, "wb") as f:
             pickle.dump(preds, f)
 
-    if args.eval != "none":
+    if args.eval == "waymo":
+        from sst_tpu.core.eval_waymo import waymo_eval
+
+        res = waymo_eval(preds, gts, tuple(classes), matcher=args.matcher,
+                         range_breakdowns=True)
+        print(json.dumps(res))
+    elif args.eval != "none":
         mode = "3d" if args.eval == "ap3d" else "bev"
         res = eval_ap(preds, gts, classes, mode=mode)
         print(json.dumps({f"AP_{mode}": res}))
