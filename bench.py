@@ -329,10 +329,13 @@ def main():
     fps = 1.0 / per_frame
 
     extra = {}
+    # FSD-family cold compiles exceed 25 min on the remote compiler (the
+    # persistent cache makes warm runs ~3 min); budget accordingly
+    budgets = {"fsd": 2700, "fsdpp": 2700}
     for fam, key in (("sst", "sst"), ("fsd", "fsd_two_stage"),
                      ("fsdpp", "fsdpp"), ("ctrl", "ctrl")):
         try:
-            r = _bench_subprocess(fam)
+            r = _bench_subprocess(fam, timeout=budgets.get(fam, 1500))
             unit = "tracks" if fam == "ctrl" else "frames"
             extra[f"{key}_fps"] = round(1.0 / r["per_frame_s"], 3)
             extra[f"{key}_p50_latency_ms"] = round(r["per_frame_s"] * 1e3, 2)

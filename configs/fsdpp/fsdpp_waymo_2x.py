@@ -2,12 +2,24 @@
 # configs/fsd/fsd++_waymo*.py, docs/FSD++_instructions.md): FSD two-stage
 # over residual current-frame points + seed-cropped history points.
 
+import copy as _copy
 import os as _os
 
 from sst_tpu.utils.config import load_config as _load
 
 _fsd = _load(_os.path.join(_os.path.dirname(__file__), "..", "fsd",
                            "fsd_waymoD1_1x.py"))
+
+# Residual-sized capacity: after the incremental mask, a 7-frame Waymo
+# stack keeps ~15-25% of its points (residual current-frame voxels + seed
+# crops), so the FSD pipeline runs at ~1/2-scale caps over a compacted
+# [B, 65536, C] buffer instead of the raw 262k multi-frame buffer. This is
+# FSD++'s super-sparsity made real under static shapes — overflow is
+# observable via num_residual_overflow / the segmentor cap counters.
+_ss = _copy.deepcopy(_fsd["model"]["single_stage"])
+_ss["segmentor"]["max_voxels"] = 65536
+_ss["segmentor"]["unet_level_caps"] = (65536, 32768, 16384, 8192, 4096, 2048)
+_ss["caps"]["pre_voxels"] = 65536
 
 model = dict(
     type="TwoStageFSDPP",
@@ -18,8 +30,9 @@ model = dict(
     center_noise=0.3,
     dim_noise=0.1,
     yaw_noise=0.1,
+    residual_points_cap=65536,
     fsd=dict(
-        single_stage=_fsd["model"]["single_stage"],
+        single_stage=_ss,
         roi_head=_fsd["model"]["roi_head"],
         rois_per_sample=_fsd["model"]["rois_per_sample"],
     ),

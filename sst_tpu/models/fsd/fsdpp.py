@@ -78,6 +78,15 @@ class TwoStageFSDPP(nn.Module):
     max_crop_points: int | None = None  # first-K rank trim (:658-672)
     n_fps: int | None = None  # torchex group_fps (:671)
     frame_id_scale: float = 0.1  # hard-coded /10 (two_stage_fsdpp.py:721)
+    # TPU residual compaction: after the residual/crop mask, gather the
+    # surviving points into a [B, residual_points_cap, C] buffer so the FSD
+    # pipeline's compute scales with the RESIDUAL workload, not the raw
+    # multi-frame cap — this is where FSD++'s super-sparsity actually pays
+    # on static shapes (reference drops rows from ragged lists instead,
+    # generate_points :660-737). 0 = no compaction (full buffer flows
+    # through with valid=False rows). Overflow beyond the cap keeps the
+    # lowest point indices; surface via num_residual_overflow in losses.
+    residual_points_cap: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -188,10 +197,25 @@ class TwoStageFSDPP(nn.Module):
         # frame-age channel, 0 for current (two_stage_fsdpp.py:721)
         age = -batch.frame_inds.astype(jnp.float32) * self.frame_id_scale
         pts = jnp.concatenate([batch.points, age[..., None]], axis=-1)
+        overflow = jnp.zeros((), jnp.float32)
+        if self.residual_points_cap:
+            cap = self.residual_points_cap
+            p = pts.shape[1]
+            overflow = jnp.maximum(
+                keep.sum(axis=1) - cap, 0).sum().astype(jnp.float32)
+
+            def compact(pt, kp):
+                # earliest-index survivors (stable: current-frame points
+                # come first in the assembled buffer)
+                idx, ok = topk_compact(
+                    -jnp.arange(p, dtype=jnp.float32), kp, cap)
+                return pt[idx], ok
+
+            pts, keep = jax.vmap(compact)(pts, keep)
         return PointBatch(
             points=pts, valid=keep, gt_boxes=batch.gt_boxes,
             gt_labels=batch.gt_labels, gt_valid=batch.gt_valid,
-        )
+        ), overflow
 
     # ---------------------------------------------------------------- wiring
 
@@ -201,15 +225,16 @@ class TwoStageFSDPP(nn.Module):
             self.center_noise > 0 or self.dim_noise > 0 or self.yaw_noise > 0
             or self.fp_rate or self.seed_drop_rate
         ) else None
-        pb = self.to_point_batch(batch, train, rng)
+        pb, overflow = self.to_point_batch(batch, train, rng)
         losses = self.fsd_mod.loss(pb, train, thr_extra)
         losses["num_input_points"] = pb.valid.sum().astype(jnp.float32)
+        losses["num_residual_overflow"] = overflow
         return losses
 
     def predict(self, batch: TemporalBatch, skip_rcnn: bool = False):
-        pb = self.to_point_batch(batch, train=False)
+        pb, _ = self.to_point_batch(batch, train=False)
         return self.fsd_mod.predict(pb, skip_rcnn=skip_rcnn)
 
     def __call__(self, batch: TemporalBatch, train: bool = False):
-        pb = self.to_point_batch(batch, train)
+        pb, _ = self.to_point_batch(batch, train)
         return self.fsd_mod(pb, train)

@@ -146,6 +146,38 @@ def test_fsdpp_group_fps_crop():
         {"params": jax.random.PRNGKey(0), "seeds": jax.random.PRNGKey(1)},
         batch, train=False,
     )
-    pb = model.apply(variables, batch, False, method=model.to_point_batch)
+    pb, _ = model.apply(variables, batch, False, method=model.to_point_batch)
     assert np.isfinite(np.asarray(pb.points)).all()
     assert int(pb.valid.sum()) > 0
+
+
+def test_residual_compaction_cap():
+    """residual_points_cap gathers the surviving residual/crop points into
+    a small static buffer (the TPU-native form of FSD++'s super-sparsity);
+    point count is preserved under the cap and overflow is counted above
+    it."""
+    rng = np.random.RandomState(7)
+    batch = make_temporal_batch(rng)
+    base = tiny_fsdpp()
+    full, _ = base.to_point_batch(batch, train=False)
+    kept = int(np.asarray(full.valid).sum(axis=1).max())
+    assert kept > 0
+
+    capped_model = base.clone(residual_points_cap=1024)
+    pb, overflow = capped_model.to_point_batch(batch, train=False)
+    assert pb.points.shape[1] == 1024
+    np.testing.assert_array_equal(
+        np.asarray(pb.valid).sum(axis=1), np.asarray(full.valid).sum(axis=1))
+    assert float(overflow) == 0.0
+    # the same surviving points, just compacted
+    for b in range(2):
+        want = set(map(tuple, np.asarray(full.points[b])[
+            np.asarray(full.valid[b])][:, :3].round(4).tolist()))
+        got = set(map(tuple, np.asarray(pb.points[b])[
+            np.asarray(pb.valid[b])][:, :3].round(4).tolist()))
+        assert got == want
+
+    tight = base.clone(residual_points_cap=8)
+    pb2, overflow2 = tight.to_point_batch(batch, train=False)
+    assert int(np.asarray(pb2.valid).sum(axis=1).max()) <= 8
+    assert float(overflow2) > 0

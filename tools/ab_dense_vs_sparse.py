@@ -56,7 +56,13 @@ def run_build(name, model, scene_kw, args):
     from sst_tpu.train.schedules import FSDDetectionSchedule
 
     t_start = time.time()
-    batch0, _ = synthetic_labeled_batch(seed=0, **scene_kw)
+    # pre-generate the scene pool once: host-side generation per step would
+    # leave the chip idle (~1 s/scene of numpy at full caps)
+    pool = [synthetic_labeled_batch(seed=s, **scene_kw)[0]
+            for s in range(args.train_scenes)]
+    print(f"[{name}] scene pool ready ({time.time() - t_start:.0f}s)",
+          flush=True)
+    batch0 = pool[0]
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch0)
     state = create_train_state(
@@ -75,8 +81,7 @@ def run_build(name, model, scene_kw, args):
         key = tuple(sorted(kw.items()))
         if key not in step_fns:
             step_fns[key] = make_jitted_train_step(model, loss_kwargs=kw)
-        scene = step % args.train_scenes
-        batch, _ = synthetic_labeled_batch(seed=scene, **scene_kw)
+        batch = pool[step % args.train_scenes]
         state, metrics = step_fns[key](state, batch,
                                        jax.random.PRNGKey(1000 + step))
         if step % 20 == 0 or step == args.steps - 1:
