@@ -153,12 +153,17 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False,
 
 
 def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
-                      as_rpn: bool = False):
+                      as_rpn: bool = False, z_groups: int = 6):
     """TPU-native FSDv2-Waymo flagship: dense-BEV segmentor (z packed into
     channels, 2D UNet at 640² → 80²) + dense z-sliced mixer over the 0.5m
     virtual grid. Same sampling / virtual-voxel / head pipeline as the sparse
     build; only the two gather-bound sparse UNets are replaced by MXU-native
-    dense convs (see models/dense_bev.py)."""
+    dense convs (see models/dense_bev.py).
+
+    z_groups: z-band channel slices in the segmentor canvas (6 bands of 5
+    z-voxels over the 30-voxel column); z_groups=1 is the legacy full-column
+    max collapse, which measured -10 overall mAP (-25 pedestrian) vs the
+    sparse UNet in the round-3 A/B (AB_DENSE_SPARSE_r03.json)."""
     import jax.numpy as jnp
 
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
@@ -182,6 +187,12 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
             voxel_size=(0.25, 0.25, 0.2),
             max_voxels=131072,
             backbone="dense_bev",
+            z_groups=z_groups,
+            # 640²-resolution canvas/out-map widths are HBM-bound: 6 bands
+            # x (24+1) in, 6 x 24 out ≈ 250/240 MB f32 per frame (32 -> +60
+            # MB each, measured +9 ms on the z6 bench)
+            dense_pre_channels=24,
+            dense_group_channels=24,
             vfe=dict(feat_channels=(64, 64), mode="max"),
             unet=dict(
                 encoder_channels=((64, 64), (128, 128), (256, 256),
@@ -212,8 +223,10 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
     )
 
 
-def tiny_fsdv2_dense(grid: int = 16):
-    """Small dense-BEV FSDv2 for CPU tests (mirrors tiny_fsdv2_flagship)."""
+def tiny_fsdv2_dense(grid: int = 16, z_groups: int = 2):
+    """Small dense-BEV FSDv2 for CPU tests (mirrors tiny_fsdv2_flagship).
+    z_groups=2 exercises the grouped z-band scatter/decode path by default
+    (z_groups=1 = legacy full-column collapse)."""
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
 
     half = grid * 0.5 / 2
@@ -231,6 +244,9 @@ def tiny_fsdv2_dense(grid: int = 16):
             voxel_size=(0.5, 0.5, 0.5),
             max_voxels=256,
             backbone="dense_bev",
+            z_groups=z_groups,
+            dense_group_channels=16,
+            dense_pre_channels=16,
             vfe=dict(feat_channels=(16, 16), mode="max"),
             unet=dict(
                 encoder_channels=((16, 16), (16, 16)),

@@ -36,33 +36,57 @@ def bev_cell_ids(coords, grid_hw, valid):
 class BEVScatter(nn.Module):
     """Scatter per-voxel features onto a dense BEV canvas.
 
-    z is folded into features via a learned embedding before a max-reduce
-    over each xy column (PointPillars-style collapse, but at 3D-voxel
-    granularity so thin structures at different heights stay separable).
-    Assumes feats are post-ReLU (>= 0), so an all-zeros canvas cell reads as
-    "empty"; an explicit occupancy channel is appended for the convs.
+    z_groups=1 (legacy): z is folded into features via a learned embedding
+    before a max-reduce over each xy column (PointPillars-style collapse,
+    but at 3D-voxel granularity so thin structures at different heights stay
+    separable). Assumes feats are post-ReLU (>= 0), so an all-zeros canvas
+    cell reads as "empty"; an explicit occupancy channel is appended.
+
+    z_groups=G>1: the z axis is split into G bands and each band gets its
+    own channel slice (max-reduce only WITHIN a band, intra-band z still
+    embedded) — a column containing ground + pedestrian keeps them in
+    separate channels instead of max-merging them, which is what costs the
+    legacy collapse pedestrian mAP (AB_DENSE_SPARSE_r03.json). Features are
+    first projected to ``pre_channels`` so the canvas stays narrow
+    (G*(pre_channels+1) channels).
     """
 
     nz: int
+    z_groups: int = 1
+    pre_channels: int = 0  # 0 = scatter feats at native width
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, coords, valid, batch_size: int, grid_hw):
+    def __call__(self, feats, coords, valid, batch_size: int, grid_hw,
+                 train: bool = False):
         h, w = grid_hw
-        c = feats.shape[-1]
+        g_n = self.z_groups
+        x = feats
+        if self.pre_channels:
+            x = MLP((self.pre_channels,), norm="ln", dtype=self.dtype,
+                    name="pre")(x, valid, train)
+            x = nn.relu(x)  # keep >= 0 so empty canvas cells read as zero
+        c = x.shape[-1]
         zemb = self.param("z_embed", nn.initializers.normal(0.02),
                           (self.nz, c), jnp.float32)
         z = jnp.clip(coords[:, 1], 0, self.nz - 1)
-        x = (feats + zemb[z].astype(feats.dtype))
+        x = (x + zemb[z].astype(x.dtype))
+        # occupancy rides as channel c of the SAME scatter: a post-hoc
+        # concat of two (B*H*W*G, .) canvases materializes a full canvas
+        # copy (~19 ms at 640²xG=6 — the 'copy' class in the z6 bench trace)
+        x = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], -1)
         x = jnp.where(valid[:, None], x, 0.0)
         cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
-        cell = jnp.where(valid, cell, batch_size * h * w)
-        canvas = jnp.zeros((batch_size * h * w, c), feats.dtype)
-        canvas = canvas.at[cell].max(x, mode="drop")
-        occ = jnp.zeros((batch_size * h * w, 1), feats.dtype)
-        occ = occ.at[cell].max(jnp.ones((feats.shape[0], 1), feats.dtype),
-                               mode="drop")
-        return jnp.concatenate([canvas, occ], -1).reshape(batch_size, h, w, c + 1)
+        if g_n == 1:
+            cellg = jnp.where(valid, cell, batch_size * h * w)
+        else:
+            grp = (z * g_n) // self.nz
+            cellg = jnp.where(valid, cell * g_n + grp,
+                              batch_size * h * w * g_n)
+        size = batch_size * h * w * g_n
+        canvas = jnp.zeros((size, c + 1), x.dtype)
+        canvas = canvas.at[cellg].max(x, mode="drop")
+        return canvas.reshape(batch_size, h, w, g_n * (c + 1))
 
 
 class DenseBEVUNet(nn.Module):
@@ -109,22 +133,36 @@ class DenseBEVUNet(nn.Module):
 class DenseVoxelDecode(nn.Module):
     """Per-3D-voxel features from a BEV map: gather the voxel's xy cell and
     re-inject z via an embedding + fuse MLP (the devoxelize counterpart of
-    BEVScatter's z-collapse)."""
+    BEVScatter's z-collapse).
+
+    With z_groups=G>1 the BEV map is read as G z-band slices of
+    ``group_channels`` each (matching the grouped BEVScatter / a UNet
+    out_channels of G*group_channels): each voxel gathers ITS band's slice,
+    so two voxels sharing an xy column at different heights decode from
+    different channels."""
 
     nz: int
     out_channels: int = 128
+    z_groups: int = 1
+    group_channels: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, bev, coords, valid, train: bool = False):
         b, h, w, c = bev.shape
-        flat = bev.reshape(b * h * w, c)
+        g_n = self.z_groups
+        z = jnp.clip(coords[:, 1], 0, self.nz - 1)
         cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
-        cell = jnp.clip(cell, 0, b * h * w - 1)
-        g = flat[cell]
+        if g_n == 1:
+            flat = bev.reshape(b * h * w, c)
+            g = flat[jnp.clip(cell, 0, b * h * w - 1)]
+        else:
+            cz = self.group_channels
+            flat = bev.reshape(b * h * w * g_n, cz)
+            cellg = cell * g_n + (z * g_n) // self.nz
+            g = flat[jnp.clip(cellg, 0, flat.shape[0] - 1)]
         zemb = self.param("z_embed", nn.initializers.normal(0.02),
                           (self.nz, 32), jnp.float32)
-        z = jnp.clip(coords[:, 1], 0, self.nz - 1)
         x = jnp.concatenate([g, zemb[z].astype(g.dtype)], -1)
         x = MLP((self.out_channels,), norm="ln", dtype=self.dtype,
                 name="fuse")(x, valid, train)

@@ -117,6 +117,12 @@ class VoteSegmentor(nn.Module):
     # backbone="dense_bev": TPU-native z-packed dense 2D UNet (dense_bev.py) —
     # same per-point outputs, MXU-bound instead of gather-bound.
     backbone: str = "sparse"
+    # dense path z-band resolution: z_groups>1 scatters/decodes each z band
+    # into its own channel slice (max-merge only within a band) — closes the
+    # legacy full-column collapse's pedestrian mAP gap vs the sparse UNet.
+    z_groups: int = 1
+    dense_group_channels: int = 32
+    dense_pre_channels: int = 32
     unet_level_caps: tuple = (65536, 32768, 16384, 8192, 4096)
     unet_strides: tuple = ((2, 2, 2),) * 4
     unet_paddings: tuple = ((1, 1, 1), (1, 1, 1), (0, 1, 1), (1, 1, 1))
@@ -138,11 +144,18 @@ class VoteSegmentor(nn.Module):
             out_ch = cfg.pop("out_channels", 128)
             cfg.pop("in_channels", None)
             cfg.pop("base_channels", None)
-            self.scatter_mod = BEVScatter(nz=grid[0], dtype=self.dtype)
-            self.unet_mod = DenseBEVUNet(out_channels=out_ch, dtype=self.dtype,
-                                         **cfg)
-            self.decode_mod = DenseVoxelDecode(nz=grid[0], out_channels=out_ch,
-                                               dtype=self.dtype)
+            g_n = self.z_groups
+            self.scatter_mod = BEVScatter(
+                nz=grid[0], z_groups=g_n,
+                pre_channels=self.dense_pre_channels if g_n > 1 else 0,
+                dtype=self.dtype)
+            unet_out = (g_n * self.dense_group_channels if g_n > 1
+                        else out_ch)
+            self.unet_mod = DenseBEVUNet(out_channels=unet_out,
+                                         dtype=self.dtype, **cfg)
+            self.decode_mod = DenseVoxelDecode(
+                nz=grid[0], out_channels=out_ch, z_groups=g_n,
+                group_channels=self.dense_group_channels, dtype=self.dtype)
         else:
             self.unet_mod = SimpleSparseUNet(
                 dtype=self.dtype, return_multiscale=self.return_multiscale,
@@ -177,7 +190,8 @@ class VoteSegmentor(nn.Module):
         decoder_maps = None
         if self.backbone == "dense_bev":
             canvas = self.scatter_mod(voxel_feats, vm.voxel_coords,
-                                      vm.voxel_valid, batch_size, grid[1:])
+                                      vm.voxel_valid, batch_size, grid[1:],
+                                      train)
             bev_out, decoder_maps = self.unet_mod(canvas, train)
             vox_out = self.decode_mod(bev_out, vm.voxel_coords, vm.voxel_valid,
                                       train)

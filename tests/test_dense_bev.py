@@ -31,6 +31,46 @@ def test_bev_scatter_places_features_at_cells():
     assert np.asarray(canvas[1]).sum() == 0.0
 
 
+def test_bev_scatter_z_groups_separate_bands():
+    """z_groups=G scatters each z band into its own channel slice: ground
+    and pedestrian in the same xy column stay in separate channels instead
+    of max-merging (the legacy collapse's measured pedestrian-mAP cost,
+    AB_DENSE_SPARSE_r03.json)."""
+    m = BEVScatter(nz=4, z_groups=2)
+    feats = jnp.ones((2, 8))
+    # same xy cell, z=1 (band 0) and z=3 (band 1)
+    coords = jnp.array([[0, 1, 2, 3], [0, 3, 2, 3]], jnp.int32)
+    valid = jnp.ones((2,), bool)
+    v = m.init(jax.random.PRNGKey(0), feats, coords, valid, 1, (4, 4))
+    canvas = np.asarray(m.apply(v, feats, coords, valid, 1, (4, 4)))
+    # per-band layout: [feats(8), occ] x 2 bands (occ fused into the same
+    # scatter to avoid a full-canvas concat copy)
+    assert canvas.shape == (1, 4, 4, 2 * 9)
+    occ = canvas[0, :, :, 8::9]
+    assert occ[2, 3, 0] == 1.0 and occ[2, 3, 1] == 1.0 and occ.sum() == 2.0
+    band0, band1 = canvas[0, 2, 3, :8], canvas[0, 2, 3, 9:17]
+    assert band0.sum() > 0 and band1.sum() > 0
+    # bands carry different z embeddings, not a shared max-merge
+    assert not np.allclose(band0, band1)
+    # a band with no voxel stays empty elsewhere
+    assert canvas[0, :2, :, :].sum() == 0.0
+
+
+def test_dense_voxel_decode_z_groups_reads_own_band():
+    """Grouped decode gathers the voxel's OWN band slice from the UNet
+    output (G*group_channels channels)."""
+    cz = 4
+    m = DenseVoxelDecode(nz=4, out_channels=8, z_groups=2, group_channels=cz)
+    bev = jnp.concatenate(
+        [jnp.full((1, 4, 4, cz), 1.0), jnp.full((1, 4, 4, cz), 5.0)], -1)
+    coords = jnp.array([[0, 0, 1, 1], [0, 3, 1, 1]], jnp.int32)
+    valid = jnp.ones((2,), bool)
+    v = m.init(jax.random.PRNGKey(0), bev, coords, valid, False)
+    out = m.apply(v, bev, coords, valid, False)
+    assert out.shape == (2, 8)
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
 def test_dense_unet_shapes_and_decoder_maps():
     m = DenseBEVUNet(encoder_channels=((8, 8), (16, 16), (16, 16)),
                      decoder_channels=(16, 8), out_channels=8)

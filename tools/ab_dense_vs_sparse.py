@@ -139,8 +139,14 @@ def main():
         scene_kw = dict(batch_size=1, num_points=4096, num_extra_feats=2,
                         pcr_half=3.9, num_objects=6, size_scale=0.35)
     else:
+        from sst_tpu.flagship import fsdv2_waymo_dense
+
         builders = {
             "dense": lambda: fsdv2_waymo(max_points=args.num_points),
+            # legacy full-column z collapse (round-3 A/B loser); kept so the
+            # z-grouped fix's delta stays reproducible
+            "dense_z1": lambda: fsdv2_waymo_dense(max_points=args.num_points,
+                                                  z_groups=1),
             "sparse": lambda: fsdv2_waymo(max_points=args.num_points,
                                           backbone="sparse"),
         }
