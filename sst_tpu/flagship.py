@@ -153,17 +153,19 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False,
 
 
 def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
-                      as_rpn: bool = False, z_groups: int = 6):
+                      as_rpn: bool = False, z_groups: int = 4):
     """TPU-native FSDv2-Waymo flagship: dense-BEV segmentor (z packed into
     channels, 2D UNet at 640² → 80²) + dense z-sliced mixer over the 0.5m
     virtual grid. Same sampling / virtual-voxel / head pipeline as the sparse
     build; only the two gather-bound sparse UNets are replaced by MXU-native
     dense convs (see models/dense_bev.py).
 
-    z_groups: z-band channel slices in the segmentor canvas (6 bands of 5
-    z-voxels over the 30-voxel column); z_groups=1 is the legacy full-column
-    max collapse, which measured -10 overall mAP (-25 pedestrian) vs the
-    sparse UNet in the round-3 A/B (AB_DENSE_SPARSE_r03.json)."""
+    z_groups: z-band channel slices in the segmentor canvas (4 bands of 7-8
+    z-voxels over the 30-voxel column; A/B-selected — G=4 and G=6 both beat
+    the sparse UNet, G=4 scored highest and has the cheapest canvas);
+    z_groups=1 is the legacy full-column max collapse, which measured -10
+    overall mAP (-25 pedestrian) vs the sparse UNet
+    (AB_DENSE_SPARSE_r03.json)."""
     import jax.numpy as jnp
 
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2

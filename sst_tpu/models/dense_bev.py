@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sst_tpu.models.layers import ConvNormAct, MLP
+from sst_tpu.ops.segment import INT_SENTINEL, unique_segments_canvas
 
 
 def bev_cell_ids(coords, grid_hw, valid):
@@ -77,15 +78,31 @@ class BEVScatter(nn.Module):
         x = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], -1)
         x = jnp.where(valid[:, None], x, 0.0)
         cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
+        size = batch_size * h * w * g_n
         if g_n == 1:
-            cellg = jnp.where(valid, cell, batch_size * h * w)
+            cellg = jnp.where(valid, cell, size)
         else:
             grp = (z * g_n) // self.nz
-            cellg = jnp.where(valid, cell * g_n + grp,
-                              batch_size * h * w * g_n)
-        size = batch_size * h * w * g_n
-        canvas = jnp.zeros((size, c + 1), x.dtype)
-        canvas = canvas.at[cellg].max(x, mode="drop")
+            cellg = jnp.where(valid, cell * g_n + grp, size)
+        # Direct scatter-max into the (size, c+1) canvas is the naive form;
+        # profiled 32 ms at 640²xG=6 (wide f32 scatter, transposed tiling).
+        # Instead: dense site ids for the occupied (cell, band) sites
+        # (sort-free canvas unique — the key space is the canvas itself),
+        # max-reduce voxels into a COMPACT [n, c+1] site table, then build
+        # the canvas with an s32 inverse index + contiguous row gather
+        # (same pattern as DenseBEVMixer; scatters run at 15-115 GB/s on
+        # this hardware, row gathers 2-4x faster).
+        n = x.shape[0]
+        uniq = unique_segments_canvas(cellg, valid, num_segments=n,
+                                      key_space=size)
+        sites = jnp.zeros((n + 1, c + 1), x.dtype).at[uniq.seg_ids].max(
+            x, mode="drop")
+        site_valid = uniq.unique_keys != INT_SENTINEL
+        inv = jnp.full((size,), n, jnp.int32).at[
+            jnp.where(site_valid, uniq.unique_keys, size)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        ext = sites.at[n].set(0.0)
+        canvas = ext[inv]
         return canvas.reshape(batch_size, h, w, g_n * (c + 1))
 
 

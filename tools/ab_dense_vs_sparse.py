@@ -115,6 +115,8 @@ def main():
     p.add_argument("--num-points", type=int, default=196608)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--builds", default="dense,sparse")
+    p.add_argument("--z-groups", type=int, default=0,
+                   help="override dense build z_groups (0 = flagship default)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny grids on CPU (script smoke test)")
     p.add_argument("--out", default="AB_DENSE_SPARSE.json")
@@ -141,8 +143,10 @@ def main():
     else:
         from sst_tpu.flagship import fsdv2_waymo_dense
 
+        dense_kw = ({"z_groups": args.z_groups} if args.z_groups else {})
         builders = {
-            "dense": lambda: fsdv2_waymo(max_points=args.num_points),
+            "dense": lambda: fsdv2_waymo_dense(max_points=args.num_points,
+                                               **dense_kw),
             # legacy full-column z collapse (round-3 A/B loser); kept so the
             # z-grouped fix's delta stays reproducible
             "dense_z1": lambda: fsdv2_waymo_dense(max_points=args.num_points,
