@@ -353,7 +353,9 @@ def main():
         "baseline_ref_fps": REF_FPS,
         "baseline_provenance": BASELINE_PROVENANCE,
         "note": "synthetic Waymo-density frames (mean over 4); dense-BEV "
-                "TPU-native flagship",
+                "TPU-native flagship (z_groups=4), quality >= the sparse "
+                "reference topology on the same data "
+                "(AB_DENSE_SPARSE_r03.json)",
     }
     if "mfu" in primary:
         rec["mfu"] = primary["mfu"]
