@@ -190,7 +190,8 @@ def bench_sst(num_points: int = 196608):
                           with_analysis=True)
 
 
-def bench_fsd(num_points: int = 196608):
+def bench_fsd(num_points: int = 196608,
+              config: str = "configs/fsd/fsd_waymoD1_1x.py"):
     """FSD two-stage (CCL + SIR + SIR² RoI — the heaviest path), full-scale
     configs/fsd/fsd_waymoD1_1x.py."""
     import sst_tpu.models  # noqa: F401  (registry population)
@@ -198,12 +199,19 @@ def bench_fsd(num_points: int = 196608):
     from sst_tpu.utils.builders import build_model_from_cfg
     from sst_tpu.utils.config import load_config
 
-    cfg = load_config("configs/fsd/fsd_waymoD1_1x.py")
+    cfg = load_config(config)
     model = build_model_from_cfg(cfg, train=False)
     frames = _frame_pool(lambda s: synthetic_waymo_batch(
         batch_size=1, num_points=num_points, num_extra_feats=2,
         pcr_half=79.8, seed=s))
     return _bench_predict(model, frames)
+
+
+def bench_fsd_dense(num_points: int = 196608):
+    """FSD two-stage with the dense-BEV segmentor (the sparse segmentor is
+    211 of the reference topology's 278 ms/frame; the dense swap is the
+    module the FSDv2 flagship A/B validated)."""
+    return bench_fsd(num_points, config="configs/fsd/fsd_waymoD1_1x_dense.py")
 
 
 def bench_fsdpp(num_points: int = 262144):
@@ -331,8 +339,9 @@ def main():
     extra = {}
     # FSD-family cold compiles exceed 25 min on the remote compiler (the
     # persistent cache makes warm runs ~3 min); budget accordingly
-    budgets = {"fsd": 2700, "fsdpp": 2700}
+    budgets = {"fsd": 2700, "fsd_dense": 2700, "fsdpp": 2700}
     for fam, key in (("sst", "sst"), ("fsd", "fsd_two_stage"),
+                     ("fsd_dense", "fsd_two_stage_dense"),
                      ("fsdpp", "fsdpp"), ("ctrl", "ctrl")):
         try:
             r = _bench_subprocess(fam, timeout=budgets.get(fam, 1500))

@@ -132,10 +132,14 @@ class DynamicVoxelNet(nn.Module):
             diag["num_voxel_overflow_points"] = (
                 vm.valid & (vm.unique.seg_ids >= self.max_voxels)
             ).sum().astype(f32)
-            # voxels lost to window drop-ranges or window-capacity overflow
-            diag["num_window_dropped_voxels"] = (
-                vm.voxel_valid & ~plan.valid
-            ).sum().astype(f32)
+            # The reference's drop buckets INTENTIONALLY trim voxels (rank
+            # beyond the bucket's max_tokens seats / count outside every
+            # drop range) — expected nonzero on dense frames. Only the
+            # remainder is a static window-capacity overflow and must be 0.
+            total_win_lost = (vm.voxel_valid & ~plan.valid).sum().astype(f32)
+            seat = plan.num_seat_trimmed.astype(f32)
+            diag["num_window_seat_trimmed_voxels"] = seat
+            diag["num_window_dropped_voxels"] = total_win_lost - seat
         return feats
 
     def __call__(self, batch: PointBatch, train: bool = False, diag: dict | None = None):

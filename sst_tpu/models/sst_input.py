@@ -18,6 +18,7 @@ from flax import struct
 from sst_tpu.ops.window import (
     BucketSpec,
     FlatToWindow,
+    assign_drop_levels,
     drop_pass,
     finalize_flat2win,
     get_window_coors,
@@ -32,6 +33,12 @@ class SSTPlan:
     f2w: tuple  # (FlatToWindow, FlatToWindow)
     pos: tuple  # per-shift [N, d_model] float32 position embeddings
     valid: jax.Array  # [N] voxels surviving both drop passes
+    # voxels removed by the REFERENCE drop semantics themselves — in-window
+    # rank beyond the bucket's seat count (drop_info max_tokens,
+    # sst_input_layer_v2.py:131-155) or token count outside every bucket's
+    # range. Intentional SST behavior, NOT a capacity overflow; the
+    # remainder of (~valid & voxel_valid) is static-cap overflow.
+    num_seat_trimmed: jax.Array  # scalar int32
 
 
 def sinusoidal_window_pos(coors_in_win, window_shape, d_model: int,
@@ -110,6 +117,21 @@ def sst_input_layer(
     uniq1, keep1, lvl1 = drop_pass(win1, keep0, buckets, max_total_windows)
     final = keep0 & keep1
 
+    def design_dropped(uniq, valid, lvl):
+        # by-design drop set of this shift (see SSTPlan.num_seat_trimmed):
+        # reuses the drop pass's sort, elementwise only
+        counts = uniq.counts[jnp.minimum(uniq.seg_ids, max_total_windows - 1)]
+        _, target = assign_drop_levels(jnp.where(valid, counts, 0), buckets)
+        in_table = uniq.seg_ids < max_total_windows
+        return valid & in_table & ((lvl < 0) | (uniq.ranks >= target))
+
+    # shift-1 design drops are evaluated on shift-0 survivors, so the two
+    # sets are disjoint and their sizes add
+    num_seat_trimmed = (
+        design_dropped(uniq0, valid_s, lvl0).sum()
+        + design_dropped(uniq1, keep0, lvl1).sum()
+    ).astype(jnp.int32)
+
     f2w0 = finalize_flat2win(uniq0, ciw0, lvl0, final, buckets, max_total_windows)
     f2w1 = finalize_flat2win(uniq1, ciw1, lvl1, final, buckets, max_total_windows)
 
@@ -140,4 +162,6 @@ def sst_input_layer(
     # A voxel can additionally be lost to a bucket's static window-capacity
     # overflow in either shift; the usable set is the intersection. (With
     # properly-sized caps this matches the reference's drop set exactly.)
-    return SSTPlan(f2w=(f2w0, f2w1), pos=(pos0, pos1), valid=f2w0.valid & f2w1.valid)
+    return SSTPlan(f2w=(f2w0, f2w1), pos=(pos0, pos1),
+                   valid=f2w0.valid & f2w1.valid,
+                   num_seat_trimmed=num_seat_trimmed)

@@ -146,3 +146,41 @@ def test_hybrid_assigner_ssg_path():
     assert np.isfinite(float(sum(v for k, v in out.items()
                                  if k.startswith("loss"))))
     assert float(out["num_clusters"]) > 0
+
+
+def test_fsd_dense_segmentor_loss_and_predict():
+    """configs/fsd/fsd_waymoD1_1x_dense.py path: FSD two-stage with the
+    z-banded dense-BEV segmentor (the same module swap the FSDv2 flagship
+    A/B validated) must train and predict finitely."""
+    from sst_tpu.flagship import _single_stage_cfg, _tiny_roi_head_cfg
+    from sst_tpu.models.fsd import FSD
+
+    ss = _single_stage_cfg(tiny_fsd())
+    ss["segmentor"] = dict(
+        ss["segmentor"], backbone="dense_bev", z_groups=2,
+        dense_pre_channels=8, dense_group_channels=8,
+        unet=dict(encoder_channels=((16, 16), (32, 32)),
+                  decoder_channels=(16,), out_channels=16),
+    )
+    model = FSD(single_stage=ss, roi_head=_tiny_roi_head_cfg(),
+                rois_per_sample=16)
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, method=model.loss, mutable=["batch_stats"],
+        )
+        return sum(v for k, v in out.items() if k.startswith("loss")), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss)), {k: float(v) for k, v in out.items()}
+    assert "loss_rcnn_cls" in out
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+    pred = model.apply(variables, batch, method=model.predict)
+    assert np.isfinite(np.asarray(pred["boxes"])).all()

@@ -248,3 +248,46 @@ def test_finalize_emptied_windows_free_their_cap_slot():
                                   np.asarray(f_old.valid))
     # windows 20 and 30 both survive under the cap of 2
     assert int(f_new.valid.sum()) == 8
+
+
+def test_seat_trim_vs_capacity_overflow_split():
+    """SSTPlan.num_seat_trimmed must count exactly the voxels the REFERENCE
+    drop semantics remove (rank beyond max_tokens seats), and the model's
+    num_window_dropped_voxels remainder must be a pure capacity-overflow
+    count (zero when caps are ample)."""
+    import numpy as np
+    from sst_tpu.models.sst_input import sst_input_layer
+
+    n = 64
+    coords = np.zeros((n, 4), np.int32)
+    # all voxels in one 12x12 window region (window grid cell 0): distinct
+    # cells so every row is a real voxel
+    coords[:, 2] = np.arange(n) % 8
+    coords[:, 3] = np.arange(n) // 8
+    valid = np.ones((n,), bool)
+    # one bucket: 16 seats per window -> 64-voxel window trims 48 by design
+    buckets = (BucketSpec(16, 0, 100000, 8),)
+    plan = sst_input_layer(
+        jnp.asarray(coords), jnp.asarray(valid), (48, 48, 1), (12, 12),
+        buckets, d_model=32, max_total_windows=64)
+    total_lost = int((jnp.asarray(valid) & ~plan.valid).sum())
+    # shifted partition may split the block into up to 4 windows, each
+    # trimmed to 16 seats; shift-0 trims 48, shift-1 trims within survivors
+    assert int(plan.num_seat_trimmed) == total_lost  # no capacity loss
+    assert int(plan.num_seat_trimmed) >= 48
+    assert int(plan.valid.sum()) <= 16
+
+    # now starve the bucket's window cap: the shifted pass needs up to 4
+    # windows; cap 0 windows available after... use max_windows=1 with two
+    # well-separated populated windows -> second window is capacity-dropped
+    coords2 = np.zeros((2 * 4, 4), np.int32)
+    coords2[:4, 2] = np.arange(4)          # window at x 0..3
+    coords2[4:, 2] = 36 + np.arange(4)     # window at x 36..39
+    valid2 = np.ones((8,), bool)
+    buckets2 = (BucketSpec(16, 0, 100000, 1),)
+    plan2 = sst_input_layer(
+        jnp.asarray(coords2), jnp.asarray(valid2), (48, 48, 1), (12, 12),
+        buckets2, d_model=32, max_total_windows=64)
+    lost2 = int((jnp.asarray(valid2) & ~plan2.valid).sum())
+    assert int(plan2.num_seat_trimmed) == 0  # seats were never exceeded
+    assert lost2 >= 4  # a whole window lost to the static cap

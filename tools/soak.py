@@ -48,6 +48,18 @@ def soak(model_name: str, steps: int, num_points: int, scene_pool: int):
             return synthetic_labeled_batch(
                 1, num_points, seed=seed, num_extra_feats=2,
                 pcr_half=79.8)[0]
+    elif model_name == "fsd_dense":
+        import sst_tpu.models  # noqa: F401
+        from sst_tpu.utils.builders import build_model_from_cfg
+        from sst_tpu.utils.config import load_config
+
+        model = build_model_from_cfg(
+            load_config("configs/fsd/fsd_waymoD1_1x_dense.py"), train=True)
+
+        def mk(seed):
+            return synthetic_labeled_batch(
+                1, num_points, seed=seed, num_extra_feats=2,
+                pcr_half=79.8)[0]
     elif model_name == "sst":
         model = sst_waymo(max_points=num_points, train_buckets=True)
 
@@ -58,7 +70,8 @@ def soak(model_name: str, steps: int, num_points: int, scene_pool: int):
 
     batches = [mk(s) for s in range(scene_pool)]
     variables = jax.jit(lambda b: model.init(
-        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1),
+         "sampler": jax.random.PRNGKey(2), "seeds": jax.random.PRNGKey(3)},
         b, train=False))(batches[0])
     state = create_train_state(
         model, variables, make_optimizer(base_lr=1e-4, total_steps=steps))
@@ -97,7 +110,8 @@ def soak(model_name: str, steps: int, num_points: int, scene_pool: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="fsdv2", choices=("fsdv2", "sst"))
+    p.add_argument("--model", default="fsdv2",
+                   choices=("fsdv2", "sst", "fsd_dense"))
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--num-points", type=int, default=196608)
     p.add_argument("--scene-pool", type=int, default=16)
