@@ -16,6 +16,9 @@ _segmentor = dict(
                           (256, 256, 256), (256, 256, 256)),
         decoder_channels=((256, 256, 256), (256, 256, 128), (128, 128, 128),
                           (128, 128, 128), (128, 128, 128), (128, 128, 128)),
+        # full-cap train steps overflow HBM without backward
+        # rematerialization of the 27-tap gather intermediates
+        remat=True,
     ),
     head=dict(num_classes=3, hidden_dims=(128, 128)),
 )

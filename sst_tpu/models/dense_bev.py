@@ -78,25 +78,35 @@ class BEVScatter(nn.Module):
         x = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], -1)
         x = jnp.where(valid[:, None], x, 0.0)
         cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
-        size = batch_size * h * w * g_n
-        if g_n == 1:
-            cellg = jnp.where(valid, cell, size)
-        else:
-            grp = (z * g_n) // self.nz
-            cellg = jnp.where(valid, cell * g_n + grp, size)
-        # Direct scatter-max into the (size, c+1) canvas is the naive form;
-        # profiled 32 ms at 640²xG=6 (wide f32 scatter, transposed tiling).
-        # Instead: dense site ids for the occupied (cell, band) sites
-        # (sort-free canvas unique — the key space is the canvas itself),
-        # max-reduce voxels into a COMPACT [n, c+1] site table, then build
-        # the canvas with an s32 inverse index + contiguous row gather
-        # (same pattern as DenseBEVMixer; scatters run at 15-115 GB/s on
-        # this hardware, row gathers 2-4x faster).
         n = x.shape[0]
-        uniq = unique_segments_canvas(cellg, valid, num_segments=n,
+        # Direct scatter-max into the canvas is the naive form; profiled
+        # 32 ms at 640²xG=6 (wide f32 scatter, transposed tiling). Instead:
+        # dense site ids for the occupied cells (sort-free canvas unique —
+        # the key space is the canvas itself), max-reduce voxels into a
+        # COMPACT site table, then build the canvas with an s32 inverse
+        # index + contiguous row gather (same pattern as DenseBEVMixer;
+        # scatters run at 15-115 GB/s on this hardware, row gathers 2-4x
+        # faster).
+        #
+        # Rows are FULL xy cells of G*(c+1) channels, not (cell, band)
+        # pairs of c+1: TPU tiles the minor dim to 128 lanes, so a
+        # 25-channel row physically moves 128 lanes of HBM traffic — the
+        # per-band layout cost ~4x its logical bytes in the scatter, the
+        # canvas gather AND a relayout copy before the first conv. Each
+        # voxel widens into its band's channel slice (zeros elsewhere);
+        # same-cell voxels from different bands max-merge disjoint slices,
+        # which is exact.
+        if g_n > 1:
+            grp = (z * g_n) // self.nz
+            onehot = grp[:, None] == jnp.arange(g_n, dtype=grp.dtype)[None, :]
+            x = (onehot[:, :, None].astype(x.dtype)
+                 * x[:, None, :]).reshape(n, g_n * (c + 1))
+        size = batch_size * h * w
+        cell_key = jnp.where(valid, cell, size)
+        uniq = unique_segments_canvas(cell_key, valid, num_segments=n,
                                       key_space=size)
-        sites = jnp.zeros((n + 1, c + 1), x.dtype).at[uniq.seg_ids].max(
-            x, mode="drop")
+        sites = jnp.zeros((n + 1, g_n * (c + 1)), x.dtype).at[
+            uniq.seg_ids].max(x, mode="drop")
         site_valid = uniq.unique_keys != INT_SENTINEL
         inv = jnp.full((size,), n, jnp.int32).at[
             jnp.where(site_valid, uniq.unique_keys, size)].set(
@@ -170,14 +180,20 @@ class DenseVoxelDecode(nn.Module):
         g_n = self.z_groups
         z = jnp.clip(coords[:, 1], 0, self.nz - 1)
         cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
+        flat = bev.reshape(b * h * w, c)
+        rows = flat[jnp.clip(cell, 0, b * h * w - 1)]
         if g_n == 1:
-            flat = bev.reshape(b * h * w, c)
-            g = flat[jnp.clip(cell, 0, b * h * w - 1)]
+            g = rows
         else:
+            # gather the FULL cell row and one-hot-select the voxel's band
+            # slice: a per-(cell, band) gather of group_channels-wide rows
+            # pads each row to 128 lanes (4-5x its logical HBM bytes) and
+            # forces a relayout copy of the whole map first.
             cz = self.group_channels
-            flat = bev.reshape(b * h * w * g_n, cz)
-            cellg = cell * g_n + (z * g_n) // self.nz
-            g = flat[jnp.clip(cellg, 0, flat.shape[0] - 1)]
+            grp = (z * g_n) // self.nz
+            onehot = grp[:, None] == jnp.arange(g_n, dtype=grp.dtype)[None, :]
+            g = (rows.reshape(-1, g_n, cz)
+                 * onehot[:, :, None].astype(rows.dtype)).sum(axis=1)
         zemb = self.param("z_embed", nn.initializers.normal(0.02),
                           (self.nz, 32), jnp.float32)
         x = jnp.concatenate([g, zemb[z].astype(g.dtype)], -1)
@@ -211,27 +227,41 @@ class DenseBEVMixer(nn.Module):
             feats, valid, train)
         x = nn.relu(x)  # keep >= 0 so empty canvas cells read as zero
         z = jnp.clip(coords[:, 1], 0, self.nz - 1)
-        cellz = ((coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]) * self.nz + z
-        cellz = jnp.where(valid, cellz, batch_size * h * w * self.nz)
-        # virtual sites are unique, so the canvas build is an s32 inverse-
-        # index scatter + one contiguous row gather instead of a wide f32
-        # scatter-max (profiled 10 ms -> sub-ms: the f32 scatter was the
-        # single hottest op of the dense flagship).
+        cell = (coords[:, 0] * h + coords[:, 2]) * w + coords[:, 3]
         n = x.shape[0]
-        size = batch_size * h * w * self.nz
-        inv = jnp.full((size,), n, jnp.int32).at[cellz].set(
+        size = batch_size * h * w
+        # Canvas rows are FULL xy cells of nz*cz channels: per-(cell, z)
+        # rows of cz=32 channels pad to 128 lanes on TPU (4x their logical
+        # HBM bytes through the gather) and force a relayout copy at the
+        # [B,H,W,nz*cz] reshape. Each site widens into its z slice (zeros
+        # elsewhere); virtual sites are unique per (cell, z), so same-cell
+        # sites occupy disjoint slices and a segment-max merge is exact
+        # (x >= 0 post-ReLU). The compact-site + s32 inverse-index + row
+        # gather pattern mirrors BEVScatter.
+        onehot = z[:, None] == jnp.arange(self.nz, dtype=z.dtype)[None, :]
+        xw = (onehot[:, :, None].astype(x.dtype)
+              * jnp.where(valid[:, None], x, 0.0)[:, None, :]
+              ).reshape(n, self.nz * cz)
+        cell_key = jnp.where(valid, cell, size)
+        uniq = unique_segments_canvas(cell_key, valid, num_segments=n,
+                                      key_space=size)
+        sites = jnp.zeros((n + 1, self.nz * cz), x.dtype).at[
+            uniq.seg_ids].max(xw, mode="drop")
+        site_valid = uniq.unique_keys != INT_SENTINEL
+        inv = jnp.full((size,), n, jnp.int32).at[
+            jnp.where(site_valid, uniq.unique_keys, size)].set(
             jnp.arange(n, dtype=jnp.int32), mode="drop")
-        ext = jnp.concatenate(
-            [jnp.where(valid[:, None], x, 0.0),
-             jnp.zeros((1, cz), x.dtype)], axis=0)
+        ext = sites.at[n].set(0.0)
         canvas = ext[inv].reshape(batch_size, h, w, self.nz * cz)
         out2d, _ = DenseBEVUNet(
             encoder_channels=self.encoder_channels,
             decoder_channels=self.decoder_channels,
             out_channels=self.nz * cz, dtype=self.dtype, name="unet",
         )(canvas, train)
-        flat = out2d.reshape(batch_size * h * w * self.nz, cz)
-        back = flat[jnp.clip(cellz, 0, flat.shape[0] - 1)]
+        rows = out2d.reshape(size, self.nz * cz)[
+            jnp.clip(cell, 0, size - 1)]
+        back = (rows.reshape(n, self.nz, cz)
+                * onehot[:, :, None].astype(rows.dtype)).sum(axis=1)
         y = jnp.concatenate([back, x], -1)
         y = MLP((self.output_channels,), norm="ln", dtype=self.dtype,
                 name="post")(y, valid, train)

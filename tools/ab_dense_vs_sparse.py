@@ -64,7 +64,11 @@ def run_build(name, model, scene_kw, args):
           flush=True)
     batch0 = pool[0]
     variables = jax.jit(
-        lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch0)
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "shuffle": jax.random.PRNGKey(1),
+             "sampler": jax.random.PRNGKey(2),
+             "seeds": jax.random.PRNGKey(3)}, b, train=False))(batch0)
     state = create_train_state(
         model, variables,
         make_optimizer(base_lr=args.lr, total_steps=args.steps))
@@ -74,10 +78,15 @@ def run_build(name, model, scene_kw, args):
     # remote backend)
     sched = FSDDetectionSchedule(enable_after=args.warmup, buffer_start=0.0,
                                  delay_buffer_until=args.warmup)
+    # FSD two-stage's loss has no seg-pretrain phase (reference trains it
+    # end to end); pass only the kwargs its signature accepts
+    import inspect
+
+    loss_params = inspect.signature(model.loss).parameters
     step_fns = {}
     losses = []
     for step in range(args.steps):
-        kw = sched(step)
+        kw = {k: v for k, v in sched(step).items() if k in loss_params}
         key = tuple(sorted(kw.items()))
         if key not in step_fns:
             step_fns[key] = make_jitted_train_step(model, loss_kwargs=kw)
@@ -104,6 +113,14 @@ def run_build(name, model, scene_kw, args):
     print(f"[{name}] done in {wall:.0f}s  L2 mAPH={ap['Overall/L2 mAPH']}",
           flush=True)
     return {"ap": ap, "loss_curve": losses, "wall_s": round(wall, 1)}
+
+
+def _fsd_from_cfg(path):
+    import sst_tpu.models  # noqa: F401  (registry population)
+    from sst_tpu.utils.builders import build_model_from_cfg
+    from sst_tpu.utils.config import load_config
+
+    return build_model_from_cfg(load_config(path), train=True)
 
 
 def main():
@@ -153,6 +170,12 @@ def main():
                                                   z_groups=1),
             "sparse": lambda: fsdv2_waymo(max_points=args.num_points,
                                           backbone="sparse"),
+            # FSD two-stage pair: same segmentor swap, validated directly
+            # on the heaviest family (configs/fsd/fsd_waymoD1_1x_dense.py)
+            "fsd_dense": lambda: _fsd_from_cfg(
+                "configs/fsd/fsd_waymoD1_1x_dense.py"),
+            "fsd_sparse": lambda: _fsd_from_cfg(
+                "configs/fsd/fsd_waymoD1_1x.py"),
         }
         scene_kw = dict(batch_size=1, num_points=args.num_points,
                         num_extra_feats=2, pcr_half=79.8, num_objects=48)
@@ -161,15 +184,17 @@ def main():
         k: v for k, v in scene_kw.items()}}
     for b in args.builds.split(","):
         results[b] = run_build(b, builders[b](), scene_kw, args)
-    if "dense" in results and "sparse" in results:
-        d = results["dense"]["ap"]
-        s = results["sparse"]["ap"]
-        results["delta_dense_minus_sparse"] = {
-            k: round(d[k] - s[k], 4)
-            for k in ("Overall/L1 mAP", "Overall/L1 mAPH",
-                      "Overall/L2 mAP", "Overall/L2 mAPH")}
-        print("delta (dense - sparse):",
-              json.dumps(results["delta_dense_minus_sparse"]))
+    for dk, sk, label in (("dense", "sparse", "delta_dense_minus_sparse"),
+                          ("fsd_dense", "fsd_sparse",
+                           "delta_fsd_dense_minus_sparse")):
+        if dk in results and sk in results:
+            d = results[dk]["ap"]
+            s = results[sk]["ap"]
+            results[label] = {
+                k: round(d[k] - s[k], 4)
+                for k in ("Overall/L1 mAP", "Overall/L1 mAPH",
+                          "Overall/L2 mAP", "Overall/L2 mAPH")}
+            print(f"{label}:", json.dumps(results[label]))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", args.out)
