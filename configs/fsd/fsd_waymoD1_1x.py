@@ -61,6 +61,11 @@ model = dict(
     roi_head=dict(
         extra_wlh=(0.5, 0.5, 0.5),
         max_inbox_point=256,
+        # candidate buffer for points inside ≥1 enlarged roi (pairing itself
+        # is uncapped per point, matching the reference CUDA op,
+        # ops/dynamic_point_pool_op.py:12); overflow is observable via
+        # losses['roi_membership_overflow'] and asserted zero by the soak
+        max_paired_points=65536,
         pos_iou_thr=(0.55, 0.5, 0.5),
         # reference train_cfg.rcnn.sampler (configs/fsd/fsd_waymoD1_1x.py:234)
         sampler=dict(num=256, pos_fraction=0.55,

@@ -153,7 +153,8 @@ def fsdv2_waymo(max_points: int = 196608, dtype=None, as_rpn: bool = False,
 
 
 def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
-                      as_rpn: bool = False, z_groups: int = 4):
+                      as_rpn: bool = False, z_groups: int = 4,
+                      cap_scale: int = 1):
     """TPU-native FSDv2-Waymo flagship: dense-BEV segmentor (z packed into
     channels, 2D UNet at 640² → 80²) + dense z-sliced mixer over the 0.5m
     virtual grid. Same sampling / virtual-voxel / head pipeline as the sparse
@@ -165,21 +166,26 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
     the sparse UNet, G=4 scored highest and has the cheapest canvas);
     z_groups=1 is the legacy full-column max collapse, which measured -10
     overall mAP (-25 pedestrian) vs the sparse UNet
-    (AB_DENSE_SPARSE_r03.json)."""
+    (AB_DENSE_SPARSE_r03.json).
+
+    cap_scale: multiply every batch-global capacity (voxel / fg / virtual
+    caps are flattened across the batch) — set to the batch size when
+    running batched-throughput inference (bench.py bench_fsdv2_b4)."""
     import jax.numpy as jnp
 
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
 
     dtype = dtype or jnp.float32
+    k = cap_scale
     return SingleStageFSDV2(
         point_cloud_range=(-80.0, -80.0, -2.0, 80.0, 80.0, 4.0),
         virtual_voxel_size=(0.5, 0.5, 0.5),
         score_thresh=(0.3, 0.25, 0.25),
         caps=FSDV2Caps(
-            fg_per_class=(8192, 4096, 4096),
-            voxels=81920,
-            union_voxels=81920,  # dense path: union slots == virtual slots
-            virtual_out=16384,
+            fg_per_class=(8192 * k, 4096 * k, 4096 * k),
+            voxels=81920 * k,
+            union_voxels=81920 * k,  # dense path: union slots == virtual slots
+            virtual_out=16384 * k,
         ),
         multiscale_levels=(0, 1),  # decoder maps at 1/4 and 1/2 resolution
         ms_projector_hiddens=((128,), (128,)),
@@ -187,7 +193,7 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
         mixer_type="dense_bev",
         segmentor=dict(
             voxel_size=(0.25, 0.25, 0.2),
-            max_voxels=131072,
+            max_voxels=131072 * k,
             backbone="dense_bev",
             z_groups=z_groups,
             # 640²-resolution canvas/out-map widths are HBM-bound: 6 bands

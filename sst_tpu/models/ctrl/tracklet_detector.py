@@ -123,9 +123,10 @@ class TrackletRoIHead(nn.Module):
     num_classes: int = 1
     extra_wlh: tuple = (0.5, 0.5, 0.5)
     max_inbox_point: int = 96
-    # cap on rois a point may be paired with; dropped pairs surface as
-    # losses['roi_membership_overflow'] (see models/fsd/roi_head.py)
-    membership_rounds: int = 4
+    # candidate buffer for points inside ≥1 roi (pairing is uncapped per
+    # point); drops surface as losses['roi_membership_overflow'] (see
+    # models/fsd/roi_head.py dynamic_point_pool)
+    max_paired_points: int = 32768
     cls_pos_thr: float = 0.8
     cls_neg_thr: float = 0.2
     loss_cls_weight: float = 1.0
@@ -144,7 +145,7 @@ class TrackletRoIHead(nn.Module):
                          rois, roi_valid, roi_group, train: bool):
         pool = dynamic_point_pool(
             pts_xyz[:, :3], pts_valid, pts_group, rois, roi_valid, roi_group,
-            self.extra_wlh, self.max_inbox_point, self.membership_rounds,
+            self.extra_wlh, self.max_inbox_point, self.max_paired_points,
         )
         r, k = pool["idx"].shape
         flat_idx = pool["idx"].reshape(-1)

@@ -6,7 +6,9 @@ bbox_heads/fsd_bbox_head.py:20 and the TorchEx ``dynamic_point_pool`` op
 
 The CUDA pooling (variable pairs, atomics, caps) becomes a static [R, K]
 pairing: per roi, the first K in-box points (by point index) with their
-13-dim geometry features. RoI grouping is then a *static* segment layout —
+13-dim geometry features — built roi-major (candidate compaction + column
+cumsum + per-roi searchsorted), so a point pairs with EVERY containing roi
+exactly like the CUDA op. RoI grouping is then a *static* segment layout —
 pair (r, k) belongs to group r — so SIR² pooling needs no unique at all.
 """
 
@@ -27,7 +29,8 @@ from sst_tpu.core.target_assign import iou_neg_piecewise_sample
 from sst_tpu.core.nms import nms_bev, topk_presort
 from sst_tpu.models.fsd.sir import SIRLayer
 from sst_tpu.models.layers import MLP
-from sst_tpu.ops.segment import INT_SENTINEL, segment_reduce, unique_segments
+from sst_tpu.ops.ccl import topk_compact
+from sst_tpu.ops.segment import segment_reduce
 
 
 def _local_frame(points_xyz, pts_rois):
@@ -42,94 +45,86 @@ def _local_frame(points_xyz, pts_rois):
     return lw, ll, lz
 
 
-def point_roi_membership(points_xyz, pts_valid, pts_batch, rois, roi_valid,
-                         roi_batch, extra_wlh, rounds: int = 4,
-                         chunk: int = 16384):
-    """Per-point containing-roi ids [N, rounds] (-1 = none), chunked so the
-    [chunk, R] inside matrix stays small. Round m is the m-th (by roi index)
-    roi containing the point — the static-membership replacement for the
-    CUDA op's unbounded multi-membership pair list.
-
-    Returns (mem [N, rounds], overflow): overflow is the total number of
-    (point, roi) containment pairs dropped because a point sat inside more
-    than ``rounds`` enlarged rois — the observability counter for this cap
-    (the reference CUDA op pairs every containing roi,
-    ops/dynamic_point_pool_op.py:12)."""
-    n = points_xyz.shape[0]
-    r = rois.shape[0]
-    ex = jnp.asarray(extra_wlh, jnp.float32)
-    pad = (-n) % chunk
-    pts = jnp.concatenate([points_xyz, jnp.zeros((pad, 3), points_xyz.dtype)])
-    pv = jnp.concatenate([pts_valid, jnp.zeros((pad,), bool)])
-    pb = jnp.concatenate([pts_batch, jnp.full((pad,), -1, pts_batch.dtype)])
+def _inside_rois(pts, pv, pb, rois, roi_valid, roi_batch, ex):
+    """[M, R] bool: point i inside (extra_wlh-enlarged, batch-matched) roi j."""
     cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
     wh = rois[:, 3] / 2 + ex[0]
     lh = rois[:, 4] / 2 + ex[1]
     hh = rois[:, 5] / 2 + ex[2]
     zc = rois[:, 2] + rois[:, 5] / 2
-
-    def per_chunk(args):
-        p, v, b = args
-        relx = p[:, 0, None] - rois[None, :, 0]
-        rely = p[:, 1, None] - rois[None, :, 1]
-        lw = relx * cos[None] - rely * sin[None]
-        ll = relx * sin[None] + rely * cos[None]
-        lz = p[:, 2, None] - zc[None]
-        inside = (
-            (jnp.abs(lw) <= wh[None]) & (jnp.abs(ll) <= lh[None])
-            & (jnp.abs(lz) <= hh[None])
-            & v[:, None] & roi_valid[None] & (b[:, None] == roi_batch[None])
-        )
-        n_in = inside.sum(axis=1)
-        overflow = jnp.maximum(n_in - rounds, 0).sum().astype(jnp.int32)
-        outs = []
-        for _ in range(rounds):
-            rid = jnp.argmax(inside, axis=1).astype(jnp.int32)
-            any_in = inside.any(axis=1)
-            outs.append(jnp.where(any_in, rid, -1))
-            inside = inside & (jnp.arange(r, dtype=jnp.int32)[None] != rid[:, None])
-        return jnp.stack(outs, -1), overflow
-
-    mem, overflow = jax.lax.map(per_chunk, (pts.reshape(-1, chunk, 3),
-                                            pv.reshape(-1, chunk),
-                                            pb.reshape(-1, chunk)))
-    return mem.reshape(-1, rounds)[:n], overflow.sum()
+    relx = pts[:, 0, None] - rois[None, :, 0]
+    rely = pts[:, 1, None] - rois[None, :, 1]
+    lw = relx * cos[None] - rely * sin[None]
+    ll = relx * sin[None] + rely * cos[None]
+    lz = pts[:, 2, None] - zc[None]
+    return (
+        (jnp.abs(lw) <= wh[None]) & (jnp.abs(ll) <= lh[None])
+        & (jnp.abs(lz) <= hh[None])
+        & pv[:, None] & roi_valid[None] & (pb[:, None] == roi_batch[None])
+    )
 
 
 def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
                        roi_batch, extra_wlh=(0.5, 0.5, 0.5),
                        max_inbox_point: int = 256,
-                       membership_rounds: int = 4, chunk: int = 16384):
+                       max_paired_points: int = 65536, chunk: int = 16384):
     """[R, K] in-box point pairing + 13-dim geometry.
 
-    Sort-based pairing (reference dynamic_point_pool_op.py:12 caps without
-    O(R·N) per-roi top-k): one chunked point→roi membership pass, then a
-    single segment-rank over the pair list trims each roi to its first
-    ``max_inbox_point`` points (primary memberships first, then overlap
-    rounds, each in ascending point order).
+    Roi-major pairing with exact reference semantics (TorchEx
+    ops/dynamic_point_pool_op.py:12): EVERY containing roi pairs the point;
+    the only trim is the per-roi ``max_inbox_point`` cap the reference also
+    applies (ours keeps ascending point order where CUDA atomics keep
+    arrival order). Shape discipline: a chunked any-membership pass selects
+    the ≤``max_paired_points`` candidate points that touch any roi (counter
+    ``membership_overflow`` if exceeded — the only capacity deviation), then
+    a column cumsum over the [M, R] candidate-membership matrix ranks each
+    point within each containing roi and a per-roi ``searchsorted`` gathers
+    the first K — no sort, no per-point membership bound.
 
     Returns dict: idx [R,K] point indices, valid [R,K], geo [R,K,13] =
     (local_l, local_w, local_z, off_l-, off_w-, off_z-, off_l+, off_w+,
-     off_z+, in_margin, rel_xyz(3)).
+     off_z+, in_margin, rel_xyz(3)), membership_overflow (candidate-cap
+     dropped points), inbox_overflow (pairs beyond the per-roi K cap — the
+     reference drops these too).
     """
     r = rois.shape[0]
     n = points_xyz.shape[0]
     k = max_inbox_point
+    m = min(max_paired_points, n)
     ex = jnp.asarray(extra_wlh, jnp.float32)
 
-    mem, mem_overflow = point_roi_membership(
-        points_xyz, pts_valid, pts_batch, rois, roi_valid, roi_batch,
-        extra_wlh, membership_rounds, chunk)
-    pair_roi = mem.T.reshape(-1)  # round-major: primary memberships first
-    pair_pt = jnp.tile(jnp.arange(n, dtype=jnp.int32), membership_rounds)
-    pvalid = pair_roi >= 0
-    uu = unique_segments(jnp.where(pvalid, pair_roi, INT_SENTINEL), pvalid, r)
-    keep = pvalid & (uu.ranks < k)
-    slot = jnp.where(keep, pair_roi * k + uu.ranks, r * k)
-    idx = jnp.zeros((r * k + 1,), jnp.int32).at[slot].set(pair_pt, mode="drop")
-    pv = jnp.zeros((r * k + 1,), bool).at[slot].set(keep, mode="drop")
-    idx = idx[:-1].reshape(r, k)
-    pv = pv[:-1].reshape(r, k)
+    # 1) chunked any-membership pass over all points
+    pad = (-n) % chunk
+    pts = jnp.concatenate([points_xyz, jnp.zeros((pad, 3), points_xyz.dtype)])
+    pv = jnp.concatenate([pts_valid, jnp.zeros((pad,), bool)])
+    pb = jnp.concatenate([pts_batch, jnp.full((pad,), -1, pts_batch.dtype)])
+    any_in = jax.lax.map(
+        lambda a: _inside_rois(a[0], a[1], a[2], rois, roi_valid, roi_batch,
+                               ex).any(axis=1),
+        (pts.reshape(-1, chunk, 3), pv.reshape(-1, chunk),
+         pb.reshape(-1, chunk)),
+    ).reshape(-1)[:n]
+
+    # 2) candidate compaction in ascending point order (top_k on -index)
+    cand_idx, cand_valid = topk_compact(
+        -jnp.arange(n, dtype=jnp.float32), any_in, m)
+    mem_overflow = (any_in.sum() - cand_valid.sum()).astype(jnp.int32)
+
+    # 3) candidate membership matrix + within-roi ranks (column cumsum)
+    cpts = points_xyz[cand_idx]
+    cpb = pts_batch[cand_idx]
+    inside = _inside_rois(cpts, cand_valid, cpb, rois, roi_valid, roi_batch,
+                          ex)  # [M, R]
+    csum = jnp.cumsum(inside.astype(jnp.int32), axis=0)
+    counts = csum[-1]  # [R] in-roi point counts
+    inbox_overflow = jnp.maximum(counts - k, 0).sum().astype(jnp.int32)
+
+    # 4) q-th inside point of roi j = first row where csum[:, j] >= q
+    qs = jnp.arange(1, k + 1, dtype=csum.dtype)
+    pos = jax.vmap(lambda col: jnp.searchsorted(col, qs, side="left"))(
+        csum.T)  # [R, K]
+    pv = (qs[None, :] <= counts[:, None]) & roi_valid[:, None]
+    idx = jnp.where(pv, cand_idx[jnp.minimum(pos, m - 1)], 0)
 
     # 13-dim geometry, recomputed only for the selected [R, K] pairs
     flat_idx = idx.reshape(-1)
@@ -147,10 +142,10 @@ def dynamic_point_pool(points_xyz, pts_valid, pts_batch, rois, roi_valid,
         axis=-1,
     )
     geo = jnp.concatenate([geo, pts - proi[:, :3]], axis=-1)
-    valid = pv & roi_valid[:, None]
-    geo = jnp.where(valid.reshape(-1)[:, None], geo, 0.0).reshape(r, k, 13)
-    return {"idx": idx, "valid": valid, "geo": geo,
-            "membership_overflow": mem_overflow}
+    geo = jnp.where(pv.reshape(-1)[:, None], geo, 0.0).reshape(r, k, 13)
+    return {"idx": idx, "valid": pv, "geo": geo,
+            "membership_overflow": mem_overflow,
+            "inbox_overflow": inbox_overflow}
 
 
 def canonical_gt(rois, gts):
@@ -235,10 +230,10 @@ class GroupCorrectionHead(nn.Module):
     num_classes: int = 3
     extra_wlh: tuple = (0.5, 0.5, 0.5)
     max_inbox_point: int = 256
-    # max rois a single point can be paired with (reference CUDA op pairs all
-    # containing rois). Dropped pairs are counted in losses
-    # ['roi_membership_overflow'] — lift this if the counter goes nonzero.
-    membership_rounds: int = 4
+    # candidate buffer for points inside ≥1 enlarged roi; pairing itself is
+    # uncapped per point (reference CUDA op semantics). Points dropped here
+    # are counted in losses['roi_membership_overflow'] — lift if nonzero.
+    max_paired_points: int = 65536
     num_rois: int = 256
     pos_iou_thr: tuple = (0.45, 0.35, 0.35)
     cls_pos_thr: tuple = (0.8, 0.65, 0.65)
@@ -265,7 +260,7 @@ class GroupCorrectionHead(nn.Module):
                          rois, roi_valid, roi_batch, train: bool):
         pool = dynamic_point_pool(
             pts_xyz[:, :3], pts_valid, pts_batch, rois, roi_valid, roi_batch,
-            self.extra_wlh, self.max_inbox_point, self.membership_rounds,
+            self.extra_wlh, self.max_inbox_point, self.max_paired_points,
         )
         r, k = pool["idx"].shape
         flat_idx = pool["idx"].reshape(-1)

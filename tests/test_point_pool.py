@@ -1,4 +1,4 @@
-"""Sort-based dynamic_point_pool vs brute force (reference
+"""Roi-major dynamic_point_pool vs brute force (reference
 ops/dynamic_point_pool_op.py:12 semantics: all (roi, point) containment
 pairs, trimmed to max_inbox_point per roi)."""
 
@@ -41,7 +41,7 @@ def test_pairing_matches_brute_force():
     out = dynamic_point_pool(
         jnp.asarray(pts), jnp.ones((n,), bool), jnp.asarray(pb),
         jnp.asarray(rois), jnp.ones((r,), bool), jnp.asarray(rb),
-        extra_wlh=extra, max_inbox_point=64, membership_rounds=4, chunk=128,
+        extra_wlh=extra, max_inbox_point=64, chunk=128,
     )
     got = set()
     idx = np.asarray(out["idx"])
@@ -51,12 +51,9 @@ def test_pairing_matches_brute_force():
             if valid[ri, ki]:
                 got.add((ri, int(idx[ri, ki])))
     want = brute_pairs(pts, pb, rois, rb, extra)
-    # rounds=4 covers every multi-membership in this sparse random scene
-    max_member = max(
-        sum(1 for (rr, nn) in want if nn == n0) for n0 in range(n)
-    ) if want else 0
-    assert max_member <= 4
     assert got == want
+    assert int(out["membership_overflow"]) == 0
+    assert int(out["inbox_overflow"]) == 0
 
     # geometry: recompute one pair by hand
     if want:
@@ -72,36 +69,48 @@ def test_pairing_matches_brute_force():
         np.testing.assert_allclose(geo[10:], pts[ni] - rois[ri, :3], atol=1e-5)
 
 
-def test_multi_roi_membership_and_overflow_counter():
-    # one point inside 5 coincident enlarged rois: with rounds=4 the point
-    # reaches 4 rois and the overflow counter records the 1 dropped pair;
-    # with rounds=5 it reaches all 5 and the counter is zero.
+def test_unbounded_multi_roi_membership():
+    # one point inside 5 coincident enlarged rois reaches ALL 5 — per-point
+    # pairing is uncapped (reference CUDA op pairs every containing roi)
     pts = np.zeros((8, 3), np.float32)
     pts[1:] += 50.0  # far away, inside nothing
     rois = np.tile(np.array([[0, 0, -1, 2, 2, 2, 0.0]], np.float32), (5, 1))
     rois[:, 0] += np.linspace(-0.1, 0.1, 5)  # overlapping, not identical
-    common = dict(
+    out = dynamic_point_pool(
+        jnp.asarray(pts), jnp.ones((8,), bool), jnp.zeros((8,), jnp.int32),
+        jnp.asarray(rois), jnp.ones((5,), bool), jnp.zeros((5,), jnp.int32),
         extra_wlh=(0.5, 0.5, 0.5), max_inbox_point=8, chunk=8,
     )
-    args = (jnp.asarray(pts), jnp.ones((8,), bool), jnp.zeros((8,), jnp.int32),
-            jnp.asarray(rois), jnp.ones((5,), bool), jnp.zeros((5,), jnp.int32))
-    out4 = dynamic_point_pool(*args, membership_rounds=4, **common)
-    valid4 = np.asarray(out4["valid"])
-    idx4 = np.asarray(out4["idx"])
-    paired4 = {r for r in range(5) if (valid4[r] & (idx4[r] == 0)).any()}
-    assert len(paired4) == 4
-    assert int(out4["membership_overflow"]) == 1
+    valid = np.asarray(out["valid"])
+    idx = np.asarray(out["idx"])
+    paired = {r for r in range(5) if (valid[r] & (idx[r] == 0)).any()}
+    assert paired == set(range(5))
+    assert int(out["membership_overflow"]) == 0
+    assert int(out["inbox_overflow"]) == 0
 
-    out5 = dynamic_point_pool(*args, membership_rounds=5, **common)
-    valid5 = np.asarray(out5["valid"])
-    idx5 = np.asarray(out5["idx"])
-    paired5 = {r for r in range(5) if (valid5[r] & (idx5[r] == 0)).any()}
-    assert paired5 == set(range(5))
-    assert int(out5["membership_overflow"]) == 0
+
+def test_candidate_cap_overflow_counter():
+    # 6 points inside one roi with max_paired_points=4: the 4 lowest-index
+    # points pair; 2 candidate points are dropped and counted
+    n = 8
+    pts = np.zeros((n, 3), np.float32)
+    pts[6:] += 50.0  # 2 points outside everything
+    rois = np.array([[0, 0, -1, 4, 4, 4, 0.0]], np.float32)
+    out = dynamic_point_pool(
+        jnp.asarray(pts), jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32),
+        jnp.asarray(rois), jnp.ones((1,), bool), jnp.zeros((1,), jnp.int32),
+        max_inbox_point=8, max_paired_points=4, chunk=8,
+    )
+    assert int(out["membership_overflow"]) == 2
+    idx = np.asarray(out["idx"])
+    valid = np.asarray(out["valid"])
+    assert sorted(idx[0][valid[0]].tolist()) == [0, 1, 2, 3]
 
 
 def test_per_roi_cap_keeps_first_points():
     # 100 points inside one roi, cap 16 → the 16 lowest point indices survive
+    # and the dropped 84 pairs are visible in inbox_overflow (the reference
+    # caps identically)
     n = 100
     pts = np.zeros((n, 3), np.float32)
     rois = np.array([[0, 0, -1, 4, 4, 4, 0.3]], np.float32)
@@ -112,3 +121,4 @@ def test_per_roi_cap_keeps_first_points():
     )
     assert np.asarray(out["valid"]).all()
     assert sorted(np.asarray(out["idx"])[0].tolist()) == list(range(16))
+    assert int(out["inbox_overflow"]) == 84
