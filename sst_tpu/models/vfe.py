@@ -12,40 +12,51 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from sst_tpu.models.layers import MLP, MaskedBatchNorm
 from sst_tpu.ops.segment import gather_segments, segment_reduce
+from sst_tpu.ops.sorted_reduce import sorted_segment_reduce
 from sst_tpu.ops.voxelize import VoxelMapping
+
+
+def _decorate(points, valid, seg_ids, counts, coords, reduce_fn,
+              point_cloud_range, voxel_size, with_cluster_center,
+              with_voxel_center, with_distance):
+    """Append cluster-center and voxel-center offsets to raw point features
+    (voxel_encoder.py:255-283). Works in any consistent row order."""
+    feats = [points]
+    xyz = points[:, :3]
+    if with_cluster_center:
+        # sum + divide by the voxelizer's counts: a "mean" reduce would
+        # scatter a redundant count pass (~3 ms at 196k points — each
+        # scatter-reduce is index-latency-bound)
+        vox_sum = reduce_fn(xyz, "sum")
+        vox_mean = vox_sum / jnp.maximum(counts, 1).astype(vox_sum.dtype)[:, None]
+        cluster = xyz - gather_segments(vox_mean, seg_ids)
+        feats.append(cluster)
+    if with_voxel_center:
+        vs = jnp.asarray(voxel_size, jnp.float32)
+        pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
+        centers = (coords[:, jnp.array([3, 2, 1])].astype(jnp.float32) + 0.5) * vs + pcr
+        feats.append(xyz - centers)
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    out = jnp.concatenate(feats, axis=-1)
+    return jnp.where(valid[:, None], out, 0.0)
 
 
 def decorate_points(points, vm: VoxelMapping, point_cloud_range, voxel_size,
                     with_cluster_center=True, with_voxel_center=True,
                     with_distance=False):
-    """Append cluster-center and voxel-center offsets to raw point features
-    (voxel_encoder.py:255-283)."""
-    feats = [points]
-    xyz = points[:, :3]
-    num_vox = vm.num_voxel_slots
-    if with_cluster_center:
-        # sum + divide by the voxelizer's counts: a "mean" reduce would
-        # scatter a redundant count pass (~3 ms at 196k points — each
-        # scatter-reduce is index-latency-bound)
-        vox_sum = segment_reduce(xyz, vm.point_seg_ids, num_vox, "sum")
-        vox_mean = vox_sum / jnp.maximum(
-            vm.unique.counts, 1).astype(vox_sum.dtype)[:, None]
-        cluster = xyz - gather_segments(vox_mean, vm.point_seg_ids)
-        feats.append(cluster)
-    if with_voxel_center:
-        vs = jnp.asarray(voxel_size, jnp.float32)
-        pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
-        centers = (vm.coords[:, jnp.array([3, 2, 1])].astype(jnp.float32) + 0.5) * vs + pcr
-        feats.append(xyz - centers)
-    if with_distance:
-        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
-    out = jnp.concatenate(feats, axis=-1)
-    return jnp.where(vm.valid[:, None], out, 0.0)
+    return _decorate(
+        points, vm.valid, vm.point_seg_ids, vm.unique.counts, vm.coords,
+        lambda x, mode: segment_reduce(x, vm.point_seg_ids,
+                                       vm.num_voxel_slots, mode),
+        point_cloud_range, voxel_size, with_cluster_center, with_voxel_center,
+        with_distance)
 
 
 class DynamicVFELayer(nn.Module):
@@ -113,7 +124,16 @@ class PillarFeatureNet(nn.Module):
 
 
 class DynamicVFE(nn.Module):
-    """Point→voxel encoder. Returns voxel features [V, C_out]."""
+    """Point→voxel encoder. Returns voxel features [V, C_out].
+
+    When the VoxelMapping's unique pass was sort-based (``unique.order``
+    present), the per-layer scatter reductions instead run as one streaming
+    Pallas pass over rows pre-gathered into voxel order
+    (ops/sorted_reduce.py) — each XLA scatter at ~200k rows is
+    index-latency-bound (~3 ms) while the sorted pass is bandwidth-bound.
+    The sort permutation is free (the voxelizer already paid for it) and the
+    voxel-major output is order-independent.
+    """
 
     feat_channels: Sequence[int] = (64, 128)
     with_cluster_center: bool = True
@@ -123,24 +143,59 @@ class DynamicVFE(nn.Module):
     point_cloud_range: tuple = (-74.88, -74.88, -2, 74.88, 74.88, 4)
     mode: str = "max"
     return_point_feats: bool = False
+    # None = auto: use the sorted Pallas reduce on a single TPU device
+    # (pallas_call cannot be auto-partitioned by pjit — multi-device meshes
+    # take the scatter path unless the caller runs under shard_map and
+    # forces True). False disables unconditionally.
+    use_sorted_reduce: bool | None = None
     dtype: jnp.dtype = jnp.float32
+
+    def _sorted_path(self, vm: VoxelMapping) -> bool:
+        if self.return_point_feats or vm.unique.order is None:
+            return False
+        if self.mode not in ("max", "mean", "sum"):
+            return False
+        if self.use_sorted_reduce is not None:
+            return self.use_sorted_reduce
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
 
     @nn.compact
     def __call__(self, points, vm: VoxelMapping, train: bool = False):
-        x = decorate_points(
-            points, vm, self.point_cloud_range, self.voxel_size,
-            self.with_cluster_center, self.with_voxel_center, self.with_distance,
-        ).astype(self.dtype)
         num_vox = vm.num_voxel_slots
+        if self._sorted_path(vm):
+            order = vm.unique.order
+            points = points[order]
+            valid = vm.valid[order]
+            seg = vm.point_seg_ids[order]
+            coords = vm.coords[order]
+
+            def reduce_fn(x, mode):
+                if mode == "mean":
+                    s = sorted_segment_reduce(x, seg, num_vox, "sum")
+                    return s / jnp.maximum(vm.unique.counts, 1).astype(
+                        s.dtype)[:, None]
+                return sorted_segment_reduce(x, seg, num_vox, mode)
+        else:
+            valid, seg, coords = vm.valid, vm.point_seg_ids, vm.coords
+
+            def reduce_fn(x, mode):
+                return segment_reduce(x, seg, num_vox, mode)
+
+        x = _decorate(
+            points, valid, seg, vm.unique.counts, coords, reduce_fn,
+            self.point_cloud_range, self.voxel_size,
+            self.with_cluster_center, self.with_voxel_center,
+            self.with_distance,
+        ).astype(self.dtype)
         n_layers = len(self.feat_channels)
         point_feats = x
         for i, c in enumerate(self.feat_channels):
-            point_feats = DynamicVFELayer(c, dtype=self.dtype)(point_feats, vm.valid, train)
-            voxel_feats = segment_reduce(point_feats, vm.point_seg_ids, num_vox, self.mode)
+            point_feats = DynamicVFELayer(c, dtype=self.dtype)(point_feats, valid, train)
+            voxel_feats = reduce_fn(point_feats, self.mode)
             if i != n_layers - 1:
-                back = gather_segments(voxel_feats, vm.point_seg_ids)
+                back = gather_segments(voxel_feats, seg)
                 point_feats = jnp.concatenate([point_feats, back], axis=-1)
-                point_feats = jnp.where(vm.valid[:, None], point_feats, 0.0)
+                point_feats = jnp.where(valid[:, None], point_feats, 0.0)
         if self.return_point_feats:
             return point_feats
         return jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)

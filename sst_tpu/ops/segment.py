@@ -40,6 +40,9 @@ class UniqueResult(NamedTuple):
       num_unique: [] int32. Number of distinct valid keys (may exceed
         num_segments if capacity overflowed; callers can check).
       valid: [N] bool. Input validity, passed through.
+      order: [N] int32 sort permutation (rows taken in this order are grouped
+        by segment, ids nondecreasing — what ops.sorted_reduce consumes), or
+        None when the producer never sorted (unique_segments_canvas).
     """
 
     seg_ids: jax.Array
@@ -48,6 +51,7 @@ class UniqueResult(NamedTuple):
     counts: jax.Array
     num_unique: jax.Array
     valid: jax.Array
+    order: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -86,7 +90,8 @@ def unique_segments(keys: jax.Array, valid: jax.Array, num_segments: int) -> Uni
     counts = jax.ops.segment_sum(
         valid_sorted.astype(jnp.int32), seg_sorted, num_segments=num_segments
     )
-    return UniqueResult(seg_ids, ranks, unique_keys, counts, num_unique, valid)
+    return UniqueResult(seg_ids, ranks, unique_keys, counts, num_unique, valid,
+                        order.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "key_space"))
