@@ -499,6 +499,63 @@ def tiny_fsd():
     )
 
 
+def tiny_fsd_grouped():
+    """Tiny SingleStageFSD in group_sample mode (the Argo2 26-class recipe,
+    single_stage_fsd.py:818, scaled down to 5 classes in 2 groups): the
+    segmentor head carries a background column (6 logits), sampling and
+    clustering run per group, head tasks are the groups."""
+    from sst_tpu.models.fsd import FSDCaps, SingleStageFSD
+
+    class_names = ("A", "B", "C", "D", "E")
+    return SingleStageFSD(
+        point_cloud_range=_TINY_FSD_PCR,
+        num_classes=5,
+        class_names=class_names,
+        group_names=(class_names[:2], class_names[2:]),
+        score_thresh=(0.05, 0.05),
+        cluster_voxel_size=((0.3, 0.3, 6.0), (0.2, 0.2, 6.0)),
+        connected_dist=(0.6, 0.4),
+        min_points=1,
+        pre_voxelization_size=(0.1, 0.1, 0.1),
+        caps=FSDCaps(
+            fg_per_class=(256, 128),
+            cluster_voxels_per_class=(256, 256),
+            clusters_per_class=(32, 32),
+            pre_voxels=1024,
+        ),
+        segmentor=dict(
+            voxel_size=(0.25, 0.25, 0.2),
+            max_voxels=1024,
+            unet_level_caps=(1024, 512, 256, 128),
+            unet_strides=((2, 2, 2),) * 3,
+            unet_paddings=((1, 1, 1),) * 3,
+            vfe=dict(feat_channels=(16, 16), mode="max"),
+            unet=dict(
+                in_channels=16, base_channels=16,
+                encoder_channels=((16,), (16, 16), (32, 32)),
+                decoder_channels=((32, 32, 16), (16, 16, 16), (16, 16, 16)),
+            ),
+            head=dict(num_classes=6, hidden_dims=(32, 32)),  # + background
+        ),
+        backbone=dict(
+            num_blocks=2,
+            in_channels=(0, 0),
+            feat_channels=((32, 32), (32, 32)),
+            rel_mlp_hidden=((8, 8), (8, 8)),
+        ),
+        head=dict(
+            in_channel=128,
+            shared_mlp_dims=(64, 64),
+            common_attrs=(("center", 3, 1, 32), ("dim", 3, 1, 32),
+                          ("rot", 2, 1, 32)),
+            num_cls_layer=1,
+            cls_hidden_dim=32,
+        ),
+        test_cfg=dict(score_thr=0.05, nms_thr=0.25, nms_pre=64, max_num=32,
+                      use_rotate_nms=True),
+    )
+
+
 def _tiny_roi_head_cfg(max_inbox_point: int = 32):
     return dict(
         max_inbox_point=max_inbox_point,

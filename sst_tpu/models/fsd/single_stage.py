@@ -51,6 +51,15 @@ class SingleStageFSD(nn.Module):
     point_cloud_range: tuple = (-80.0, -80.0, -2.0, 80.0, 80.0, 4.0)
     num_classes: int = 3
     class_names: tuple = ("Car", "Pedestrian", "Cyclist")
+    # group_sample (single_stage_fsd.py:818, the Argo2 26-class recipe):
+    # when set, sampling/clustering iterate over these class GROUPS instead
+    # of classes — the segmentor head must then carry a background column
+    # (num_classes + 1 logits, softmax scoring), a group's fg score is the
+    # sum of its member-class probabilities, and its vote offset is the
+    # logit-argmax member's offset ('max' offset weighting, :860-880). All
+    # per-unit tuples below (score_thresh, cluster_voxel_size,
+    # connected_dist, caps.*_per_class) are then indexed per group.
+    group_names: tuple | None = None
     score_thresh: tuple = (0.3, 0.25, 0.25)
     cluster_voxel_size: tuple = ((0.3, 0.3, 6.0), (0.05, 0.05, 6.0), (0.2, 0.2, 6.0))
     connected_dist: tuple = (0.6, 0.1, 0.4)
@@ -73,15 +82,30 @@ class SingleStageFSD(nn.Module):
     )
     dtype: Any = jnp.float32
 
+    @property
+    def num_units(self) -> int:
+        """Sampling/clustering units: class groups when group_names is set
+        (Argo2), else one unit per class (Waymo)."""
+        return (len(self.group_names) if self.group_names is not None
+                else self.num_classes)
+
     def setup(self):
+        for name in ("score_thresh", "cluster_voxel_size", "connected_dist"):
+            if len(getattr(self, name)) < self.num_units:
+                raise ValueError(
+                    f"{name} has {len(getattr(self, name))} entries but "
+                    f"{self.num_units} sampling units are configured")
         self.segmentor_mod = VoteSegmentor(
             point_cloud_range=self.point_cloud_range, dtype=self.dtype,
             **self.segmentor,
         )
         self.backbone_mod = SIR(dtype=self.dtype, **self.backbone)
+        head_kw = dict(self.head)
+        if self.group_names is not None:
+            head_kw.setdefault("tasks", self.group_names)
         self.head_mod = SparseClusterHeadV2(
             num_classes=self.num_classes, class_names=self.class_names,
-            dtype=self.dtype, **self.head,
+            dtype=self.dtype, **head_kw,
         )
 
     # ------------------------------------------------------------- pipeline
@@ -109,16 +133,35 @@ class SingleStageFSD(nn.Module):
         return out
 
     def sample_class(self, data: dict, cls: int, thr_extra: float = 0.0):
-        """fg selection for one class: threshold + top-k compaction
-        (single_stage_fsd.py:698-775)."""
+        """fg selection for one sampling unit: threshold + top-k compaction
+        (single_stage_fsd.py:698-775; group_sample :818 when group_names)."""
         cap = self.caps.fg_per_class[cls]
-        scores = jax.nn.sigmoid(data["seg_logits"][:, cls])
+        if self.group_names is not None:
+            ids = [self.class_names.index(n) for n in self.group_names[cls]]
+            # background-column softmax scoring; group score = sum of member
+            # probabilities (single_stage_fsd.py:828-845)
+            probs = jax.nn.softmax(data["seg_logits"], axis=-1)
+            scores = probs[:, jnp.asarray(ids)].sum(axis=-1)
+        else:
+            ids = [cls]
+            scores = jax.nn.sigmoid(data["seg_logits"][:, cls])
         fg = data["valid"] & (scores > self.score_thresh[cls] + thr_extra)
         if data.get("gt_point_labels") is not None:
-            fg = fg | (data["valid"] & (data["gt_point_labels"] == cls))
+            member = jnp.zeros_like(fg)
+            for cid in ids:
+                member = member | (data["gt_point_labels"] == cid)
+            fg = fg | (data["valid"] & member)
         idx, sel_valid = topk_compact(scores, fg, cap)
         pts = data["seg_points"][idx]
-        offsets = data["offsets"][idx].reshape(-1, self.num_classes, 3)[:, cls]
+        offs = data["offsets"][idx].reshape(idx.shape[0], -1, 3)
+        if len(ids) > 1:
+            # 'max' offset weighting: the logit-argmax member's offset
+            # (single_stage_fsd.py:860-880)
+            member_logits = data["seg_logits"][idx][:, jnp.asarray(ids)]
+            w = jax.nn.one_hot(member_logits.argmax(-1), len(ids))
+            offsets = (offs[:, jnp.asarray(ids)] * w[..., None]).sum(axis=1)
+        else:
+            offsets = offs[:, ids[0]]
         centers = pts[:, :3] + offsets
         return {
             "idx": idx,
@@ -234,11 +277,11 @@ class SingleStageFSD(nn.Module):
         """sample → cluster → SIR for all classes. Returns cluster-level and
         point-level tensors."""
         streams = []
-        total_clusters = sum(self.caps.clusters_per_class)
+        total_clusters = sum(self.caps.clusters_per_class[:self.num_units])
         offset = 0
-        for cls in range(self.num_classes):
+        for cls in range(self.num_units):
             s = self.sample_class(data, cls, thr_extra)
-            kind = (self.assigner_per_class or ("ccl",) * self.num_classes)[cls]
+            kind = (self.assigner_per_class or ("ccl",) * self.num_units)[cls]
             assign = self.ssg_class if kind == "ssg" else self.cluster_class
             pc, pv = assign(s, cls, batch_size)
             ccap = self.caps.clusters_per_class[cls]
@@ -257,9 +300,11 @@ class SingleStageFSD(nn.Module):
         cluster_batch = segment_reduce(
             batch_idx.astype(jnp.float32), seg_ids, total_clusters, "max"
         ).astype(jnp.int32)
+        # unit index == head task index (1:1 with classes on Waymo; class
+        # groups on Argo2)
         cluster_cls = jnp.concatenate([
             jnp.full((self.caps.clusters_per_class[c],), c, jnp.int32)
-            for c in range(self.num_classes)
+            for c in range(self.num_units)
         ])
         cluster_valid = segment_reduce(
             pt_valid.astype(jnp.float32), seg_ids, total_clusters, "sum"
@@ -343,7 +388,18 @@ class SingleStageFSD(nn.Module):
         losses["num_fg_points"] = ex["pt_valid"].sum().astype(jnp.float32)
         return losses
 
-    def loss(self, batch, train: bool = True, thr_extra: float = 0.0):
+    def loss(self, batch, train: bool = True, thr_extra: float = 0.0,
+             pretrain: bool = False):
+        """pretrain=True: segmentation-only warmup (EnableFSDDetectionHook
+        fsd_hooks.py:70 before enable; also the standalone segmentation
+        pretrain recipe, configs/argo2/argo_segmentation_pretrain.py)."""
+        if pretrain:
+            b, p, _ = batch.points.shape
+            pts = batch.points.reshape(b * p, -1)
+            batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+            seg_out = self.segmentor_mod(
+                pts, batch_idx, batch.valid.reshape(-1), b, train)
+            return self.seg_losses(batch, seg_out)
         pipe = self.run_pipeline(batch, train, thr_extra)
         return self.losses_from_pipeline(batch, pipe)
 

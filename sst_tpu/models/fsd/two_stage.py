@@ -96,7 +96,12 @@ class FSD(nn.Module):
         feats = jnp.concatenate([sir_feats, data["seg_feats"]], axis=-1)
         return data["seg_points"], feats, data["valid"], data["batch_idx"]
 
-    def loss(self, batch, train: bool = True, thr_extra: float = 0.0):
+    def loss(self, batch, train: bool = True, thr_extra: float = 0.0,
+             pretrain: bool = False):
+        if pretrain:
+            # segmentation-only warmup (EnableFSDDetectionHook before
+            # enable_after, fsd_hooks.py:70): no clustering / head / RoI
+            return self.rpn.loss(batch, train, thr_extra, pretrain=True)
         pipe = self.rpn.run_pipeline(batch, train, thr_extra)
         losses = self.rpn.losses_from_pipeline(batch, pipe)
         rois, rscores, rlabels, rvalid, rbatch = self._proposals(pipe)

@@ -23,7 +23,8 @@ def build_train_dataset(cfg, model, synthetic: bool = False, seed: int = 0,
     """Returns (dataset, collate_or_None, ds_kind, train_pipeline_cfg).
 
     collate None means the DataLoader default (PointBatch).
-    ds_kind: 'synthetic' | 'waymo' | 'waymo_incremental' | 'waymo_tracklet'.
+    ds_kind: 'synthetic' | 'waymo' | 'waymo_incremental' | 'waymo_tracklet'
+      | 'nuscenes' | 'argo2'.
     """
     from sst_tpu.data.datasets import SyntheticDataset, WaymoDataset
     from sst_tpu.data.pipelines import build_pipeline
@@ -116,6 +117,21 @@ def build_train_dataset(cfg, model, synthetic: bool = False, seed: int = 0,
         )
         if data_cfg.get("cbgs", False):
             dataset = CBGSDataset(dataset)
+    elif ds_kind == "argo2":
+        from sst_tpu.data.datasets import Argo2Dataset
+
+        kw = {}
+        for k in ("load_dim", "use_dim"):
+            if k in data_cfg:
+                kw[k] = data_cfg[k]
+        dataset = Argo2Dataset(
+            data_root=data_cfg.get("data_root", "data/argo2"),
+            info_path=data_cfg.get(
+                "info_path", "data/argo2/argo2_infos_train.pkl"),
+            load_interval=data_cfg.get("load_interval", 1),
+            pipeline=build_pipeline(train_pipeline_cfg),
+            **kw,
+        )
     else:
         raise ValueError(f"unknown data.dataset {ds_kind!r}")
 

@@ -184,3 +184,36 @@ def test_fsd_dense_segmentor_loss_and_predict():
 
     pred = model.apply(variables, batch, method=model.predict)
     assert np.isfinite(np.asarray(pred["boxes"])).all()
+
+
+def test_grouped_fsd_loss_predict_and_pretrain():
+    """group_sample mode (single_stage_fsd.py:818, the Argo2 recipe scaled
+    to 5 classes / 2 groups): loss is finite with per-task keys for both
+    groups, pretrain=True returns segmentation losses only, predict decodes
+    26-free class labels within [0, 5)."""
+    from sst_tpu.flagship import tiny_fsd_grouped
+
+    model = tiny_fsd_grouped()
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng)
+    # labels in [0, 5)
+    batch = batch.replace(gt_labels=jnp.asarray(
+        np.random.RandomState(2).randint(0, 5, batch.gt_labels.shape)
+        .astype(np.int32)))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    losses = model.apply(variables, batch, train=True, method=model.loss,
+                         mutable=["batch_stats"])[0]
+    assert "loss_cls.task0" in losses and "loss_cls.task1" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+
+    pre = model.apply(variables, batch, train=True, method=model.loss,
+                      pretrain=True, mutable=["batch_stats"])[0]
+    assert set(k for k in pre if k.startswith("loss")) == \
+        {"loss_sem_seg", "loss_vote"}
+
+    out = model.apply(variables, batch, method=model.predict)
+    labels = np.asarray(out["labels"])
+    valid = np.asarray(out["valid"])
+    assert ((labels[valid] >= 0) & (labels[valid] < 5)).all()
+    assert np.isfinite(np.asarray(out["boxes"])).all()

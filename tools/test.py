@@ -149,7 +149,14 @@ def main():
         )
         classes = list(dataset.CLASSES)
     else:
-        dataset = WaymoDataset(
+        ds_kind = data_cfg.get("dataset", "waymo")
+        if ds_kind == "nuscenes":
+            from sst_tpu.data.datasets import NuScenesDataset as DsCls
+        elif ds_kind == "argo2":
+            from sst_tpu.data.datasets import Argo2Dataset as DsCls
+        else:
+            DsCls = WaymoDataset
+        dataset = DsCls(
             data_root=data_cfg["data_root"],
             info_path=data_cfg["val_info_path"],
             pipeline=build_pipeline([
