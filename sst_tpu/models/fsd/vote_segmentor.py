@@ -116,7 +116,15 @@ class VoteSegmentor(nn.Module):
     # backbone="sparse": reference-topology spconv UNet (sparse_unet.py:324).
     # backbone="dense_bev": TPU-native z-packed dense 2D UNet (dense_bev.py) —
     # same per-point outputs, MXU-bound instead of gather-bound.
+    # backbone="sst": pillar-grid SSTv2 encoder (the reference's
+    # fsd_waymoD1_1x_sst_encoder.py recipe — SSTInputLayerV2 + SSTv2 with
+    # to_bev=False, per-voxel outputs decoded back to points); requires a
+    # full-height z voxel (pillars) and the sst=dict(...) plumbing below.
     backbone: str = "sparse"
+    # sst-backbone plumbing: dict(window_shape=(12, 12), buckets=((max_tokens,
+    # drop_lower, drop_upper, max_windows), ...), max_total_windows=2048,
+    # shuffle_voxels=True) — mirrors DynamicVoxelNet's fields.
+    sst: dict | None = None
     # dense path z-band resolution: z_groups>1 scatters/decodes each z band
     # into its own channel slice (max-merge only within a band) — closes the
     # legacy full-column collapse's pedestrian mAP gap vs the sparse UNet.
@@ -129,6 +137,11 @@ class VoteSegmentor(nn.Module):
     vfe: dict = None
     unet: dict = None
     head: dict = None
+    # multi-sweep dedup (single_stage_fsd.py:269-279 voxel_downsample, used
+    # by the 3-frame recipe fsd_waymoD1_1x_3f.py): average points over tiny
+    # voxels BEFORE the segmentor. Runs per sample (vmapped) so the 0.05 m
+    # key space stays inside int32.
+    voxel_downsampling_size: tuple | None = None
     tanh_dims: tuple | None = None  # None → tanh all channels past xyz (WOD hack)
     return_multiscale: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -156,6 +169,24 @@ class VoteSegmentor(nn.Module):
             self.decode_mod = DenseVoxelDecode(
                 nz=grid[0], out_channels=out_ch, z_groups=g_n,
                 group_channels=self.dense_group_channels, dtype=self.dtype)
+        elif self.backbone == "sst":
+            from sst_tpu.models.sst import SSTv2
+            from sst_tpu.ops.window import BucketSpec
+
+            assert grid[0] == 1, (
+                "sst segmentor backbone needs a full-height pillar voxel "
+                f"(z grid {grid[0]} != 1)")
+            cfg = dict(self.unet or {})
+            cfg.setdefault("num_attached_conv", 0)
+            self.unet_mod = SSTv2(to_bev=False, dtype=self.dtype, **cfg)
+            sst_cfg = dict(self.sst or {})
+            self.sst_window_shape = tuple(sst_cfg.get("window_shape", (12, 12)))
+            self.sst_buckets = tuple(
+                BucketSpec(*b) for b in sst_cfg.get(
+                    "buckets", ((30, 0, 30, 1536), (60, 30, 60, 1280),
+                                (100, 60, 100000, 768))))
+            self.sst_max_total_windows = sst_cfg.get("max_total_windows", 2048)
+            self.sst_shuffle_voxels = sst_cfg.get("shuffle_voxels", True)
         else:
             self.unet_mod = SimpleSparseUNet(
                 dtype=self.dtype, return_multiscale=self.return_multiscale,
@@ -175,9 +206,43 @@ class VoteSegmentor(nn.Module):
             out = out.at[:, d].set(jnp.tanh(out[:, d]))
         return out
 
+    def voxel_downsample(self, points, points_valid, batch_size: int):
+        """Average-dedup points over ``voxel_downsampling_size`` voxels
+        (single_stage_fsd.py:269-279): the [B*P, C] flat batch keeps its
+        static shape; merged duplicates free validity slots."""
+        from sst_tpu.ops.segment import unique_segments
+        from sst_tpu.ops.segment import segment_reduce as seg_reduce
+
+        n, c = points.shape
+        p = n // batch_size
+        size = jnp.asarray(self.voxel_downsampling_size, jnp.float32)
+        pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
+        grid = grid_shape_zyx(self.point_cloud_range,
+                              self.voxel_downsampling_size)
+        nz, ny, nx = grid
+        assert nz * ny * nx < 2**31, "downsample key overflow; grow voxel"
+
+        def one(pp, vv):
+            cc = jnp.floor((pp[:, :3] - pcr[None, :3]) / size[None]).astype(
+                jnp.int32)
+            in_r = vv & (cc >= 0).all(-1) & (cc[:, 0] < nx) & \
+                (cc[:, 1] < ny) & (cc[:, 2] < nz)
+            key = (cc[:, 2] * ny + cc[:, 1]) * nx + cc[:, 0]
+            uniq = unique_segments(key, in_r, p)
+            out = seg_reduce(pp, uniq.seg_ids, p, "mean")
+            ok = uniq.unique_keys != jnp.iinfo(jnp.int32).max
+            return out, ok
+
+        out, ok = jax.vmap(one)(points.reshape(batch_size, p, c),
+                                points_valid.reshape(batch_size, p))
+        return out.reshape(n, c), ok.reshape(n)
+
     def __call__(self, points, batch_idx, points_valid, batch_size: int,
                  train: bool = False):
         """points: [P, C] flat batch. Returns per-point seg dict."""
+        if self.voxel_downsampling_size is not None:
+            points, points_valid = self.voxel_downsample(
+                points, points_valid, batch_size)
         pts = self.preprocess(points)
         vm = dynamic_voxelize(
             pts, batch_idx, points_valid,
@@ -196,6 +261,25 @@ class VoteSegmentor(nn.Module):
             vox_out = self.decode_mod(bev_out, vm.voxel_coords, vm.voxel_valid,
                                       train)
             unet_out = {"voxel_feats": vox_out}
+        elif self.backbone == "sst":
+            from sst_tpu.models.sst_input import sst_input_layer
+
+            rng = None
+            if train and self.sst_shuffle_voxels and self.has_rng("shuffle"):
+                rng = self.make_rng("shuffle")
+            plan = sst_input_layer(
+                vm.voxel_coords, vm.voxel_valid,
+                sparse_shape=(grid[2], grid[1], 1),
+                window_shape=self.sst_window_shape,
+                buckets=self.sst_buckets,
+                d_model=self.unet_mod.d_model[0],
+                max_total_windows=self.sst_max_total_windows,
+                shuffle_rng=rng,
+            )
+            vox_out, vox_valid = self.unet_mod(
+                voxel_feats, vm.voxel_coords, plan, batch_size, train)
+            unet_out = {"voxel_feats": jnp.where(
+                vox_valid[:, None], vox_out, 0.0)}
         else:
             # voxel order from unique_segments is already sorted by key, so
             # the SparseGrid can be built without re-sorting; order identity.

@@ -217,3 +217,69 @@ def test_grouped_fsd_loss_predict_and_pretrain():
     valid = np.asarray(out["valid"])
     assert ((labels[valid] >= 0) & (labels[valid] < 5)).all()
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_sst_encoder_segmentor_forward():
+    """VoteSegmentor backbone='sst' (fsd_waymoD1_1x_sst_encoder.py recipe):
+    pillar-grid SSTv2 with per-voxel outputs decoded back to points."""
+    from sst_tpu.models.fsd.vote_segmentor import VoteSegmentor
+
+    seg = VoteSegmentor(
+        voxel_size=(0.5, 0.5, 6.0),  # full-height pillars over tiny range
+        point_cloud_range=PCR,
+        max_voxels=512,
+        backbone="sst",
+        sst=dict(window_shape=(4, 4),
+                 buckets=((8, 0, 8, 64), (16, 8, 100000, 32)),
+                 max_total_windows=128),
+        vfe=dict(feat_channels=(16, 16), mode="max"),
+        unet=dict(d_model=(16,) * 2, nhead=(2,) * 2, num_blocks=2,
+                  dim_feedforward=(32,) * 2, num_attached_conv=0),
+        head=dict(num_classes=3, hidden_dims=(16,)),
+    )
+    rng = np.random.RandomState(0)
+    n = 512
+    pts = jnp.asarray(
+        np.concatenate([rng.uniform(-7, 7, (n, 3)), rng.rand(n, 2)], -1)
+        .astype(np.float32))
+    bidx = jnp.zeros((n,), jnp.int32)
+    valid = jnp.ones((n,), bool)
+    variables = seg.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        pts, bidx, valid, 1)
+    out = seg.apply(variables, pts, bidx, valid, 1)
+    assert out["seg_logits"].shape == (n, 3)
+    assert np.isfinite(np.asarray(out["seg_logits"])).all()
+    assert np.isfinite(np.asarray(out["offsets"])).all()
+
+
+def test_voxel_downsample_dedups_sweep_overlap():
+    """voxel_downsampling_size (3-sweep recipe): coincident points merge to
+    one valid slot with averaged fields; distinct cells survive."""
+    from sst_tpu.models.fsd.vote_segmentor import VoteSegmentor
+
+    seg = VoteSegmentor(
+        voxel_size=(0.5, 0.5, 6.0), point_cloud_range=PCR, max_voxels=256,
+        backbone="sst",
+        sst=dict(window_shape=(4, 4), buckets=((8, 0, 100000, 64),),
+                 max_total_windows=128),
+        voxel_downsampling_size=(0.1, 0.1, 0.1),
+        vfe=dict(feat_channels=(8,), mode="max"),
+        unet=dict(d_model=(8,), nhead=(1,), num_blocks=1,
+                  dim_feedforward=(16,), num_attached_conv=0),
+        head=dict(num_classes=3, hidden_dims=(8,)),
+    )
+    # 4 points: two coincident (same 0.1 cell), two far apart
+    pts = jnp.asarray(np.array([
+        [1.02, 1.02, 0.5, 0.2, 0.0],
+        [1.03, 1.03, 0.5, 0.6, 0.0],
+        [-3.0, 2.0, 0.5, 1.0, 0.0],
+        [5.0, -4.0, 0.5, 1.0, 0.0],
+    ], np.float32))
+    out, ok = VoteSegmentor.voxel_downsample(seg, pts, jnp.ones((4,), bool), 1)
+    ok = np.asarray(ok)
+    assert ok.sum() == 3
+    merged = np.asarray(out)[ok]
+    # the merged slot averaged xyz and intensity of the coincident pair
+    d = np.abs(merged - np.array([1.025, 1.025, 0.5, 0.4, 0.0])).sum(1)
+    assert d.min() < 1e-5
