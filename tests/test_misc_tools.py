@@ -102,9 +102,15 @@ def test_fuse_conv_bn_equivalence():
 def test_dist_train_wrapper_checks_devices():
     """dist_train.sh forwards the chip count as --expect-devices; a wrong
     count must abort before any training work."""
+    env = dict(os.environ)
+    # hermetic: force the CPU backend (train.py honors SST_TPU_PLATFORM) so
+    # the device check never touches the remote TPU client — which can hang
+    # the whole subprocess when the axon backend is down
+    env["SST_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     r = subprocess.run(
         ["bash", "tools/dist_train.sh", CFG, "997", "--synthetic",
          "--max-steps", "1", "--work-dir", "/tmp/_dist_smoke"],
-        cwd=REPO, capture_output=True, text=True, timeout=300)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode != 0
     assert "--expect-devices 997" in (r.stdout + r.stderr)
