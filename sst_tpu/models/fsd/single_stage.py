@@ -122,13 +122,24 @@ class SingleStageFSD(nn.Module):
         nz, ny, nx = grid
         key = ((data["batch_idx"] * nz + c[:, 2]) * ny + c[:, 1]) * nx + c[:, 0]
         uniq = unique_segments(key, data["valid"], cap)
+        # ONE wide mean pass for every float field + batch_idx: scatter
+        # reduces at ~200k rows are index-latency-bound (~3 ms each, nearly
+        # width-independent), so 6 passes sharing seg ids fuse into 1.
+        # batch_idx rides along as a float channel — the voxel key includes
+        # the batch, so all rows of a segment share it and its mean IS it.
+        names = ("seg_points", "seg_logits", "seg_vote_preds", "offsets",
+                 "seg_feats")
+        widths = [data[n].shape[-1] for n in names]
+        wide = jnp.concatenate(
+            [data[n] for n in names]
+            + [data["batch_idx"].astype(jnp.float32)[:, None]], axis=-1)
+        red = segment_reduce(wide, uniq.seg_ids, cap, "mean")
         out = {}
-        for name in ("seg_points", "seg_logits", "seg_vote_preds", "offsets",
-                     "seg_feats"):
-            out[name] = segment_reduce(data[name], uniq.seg_ids, cap, "mean")
-        out["batch_idx"] = segment_reduce(
-            data["batch_idx"].astype(jnp.float32), uniq.seg_ids, cap, "max"
-        ).astype(jnp.int32)
+        ofs = 0
+        for n, w in zip(names, widths):
+            out[n] = red[:, ofs:ofs + w]
+            ofs += w
+        out["batch_idx"] = jnp.round(red[:, ofs]).astype(jnp.int32)
         out["valid"] = uniq.unique_keys != jnp.iinfo(jnp.int32).max
         return out
 
@@ -199,10 +210,13 @@ class SingleStageFSD(nn.Module):
         vox_valid = (uniq.unique_keys != jnp.iinfo(jnp.int32).max) & (
             uniq.counts >= self.min_points
         )
-        vox_centers = segment_reduce(centers, uniq.seg_ids, vcap, "mean")
-        vox_batch = segment_reduce(
-            sample["batch_idx"].astype(jnp.float32), uniq.seg_ids, vcap, "max"
-        ).astype(jnp.int32)
+        # one fused pass: centers mean + batch (same-value mean — the key
+        # includes the batch)
+        wide = jnp.concatenate(
+            [centers, sample["batch_idx"].astype(jnp.float32)[:, None]], -1)
+        red = segment_reduce(wide, uniq.seg_ids, vcap, "mean")
+        vox_centers = red[:, :3]
+        vox_batch = jnp.round(red[:, 3]).astype(jnp.int32)
         labels = connected_components(
             vox_centers[:, :2], vox_batch, vox_valid, self.connected_dist[cls]
         )
@@ -239,10 +253,11 @@ class SingleStageFSD(nn.Module):
         key = (sample["batch_idx"] * ny + cy) * nx + cx
         uniq = unique_segments(key, sample["valid"], vcap)
         vox_valid = uniq.unique_keys != jnp.iinfo(jnp.int32).max
-        vox_centers = segment_reduce(centers, uniq.seg_ids, vcap, "mean")
-        vox_batch = segment_reduce(
-            sample["batch_idx"].astype(jnp.float32), uniq.seg_ids, vcap, "max"
-        ).astype(jnp.int32)
+        wide = jnp.concatenate(
+            [centers, sample["batch_idx"].astype(jnp.float32)[:, None]], -1)
+        red = segment_reduce(wide, uniq.seg_ids, vcap, "mean")
+        vox_centers = red[:, :3]
+        vox_batch = jnp.round(red[:, 3]).astype(jnp.int32)
 
         # batch-offset x so FPS spread / radius tests never cross samples
         off = vox_batch.astype(jnp.float32) * 1e4
@@ -296,19 +311,22 @@ class SingleStageFSD(nn.Module):
         seg_ids = jnp.concatenate([sg for _, sg, _ in streams])
         pt_valid = jnp.concatenate([pv for _, _, pv in streams])
 
-        cluster_xyz = segment_reduce(centers, seg_ids, total_clusters, "mean")
-        cluster_batch = segment_reduce(
-            batch_idx.astype(jnp.float32), seg_ids, total_clusters, "max"
-        ).astype(jnp.int32)
+        # one fused sum pass: xyz mean (sum/count), batch (same-value),
+        # valid (count > 0) — 3 scatters sharing seg ids become 1
+        wide = jnp.concatenate(
+            [centers, batch_idx.astype(jnp.float32)[:, None],
+             jnp.ones((centers.shape[0], 1), jnp.float32)], -1)
+        red = segment_reduce(wide, seg_ids, total_clusters, "sum")
+        cnt = jnp.maximum(red[:, 4], 1.0)
+        cluster_xyz = red[:, :3] / cnt[:, None]
+        cluster_batch = jnp.round(red[:, 3] / cnt).astype(jnp.int32)
         # unit index == head task index (1:1 with classes on Waymo; class
         # groups on Argo2)
         cluster_cls = jnp.concatenate([
             jnp.full((self.caps.clusters_per_class[c],), c, jnp.int32)
             for c in range(self.num_units)
         ])
-        cluster_valid = segment_reduce(
-            pt_valid.astype(jnp.float32), seg_ids, total_clusters, "sum"
-        ) > 0
+        cluster_valid = red[:, 4] > 0  # rows with seg==total_clusters drop
 
         f_cluster = points[:, :3] - gather_segments(cluster_xyz, seg_ids)
         pt_feats, cluster_feats = self.backbone_mod(
