@@ -288,10 +288,11 @@ class SingleStageFSDV2(nn.Module):
             )
             w = jnp.where(gfg, 1.0, self.centroid_alpha)
             w = w * (cat_valid & vm.valid).astype(jnp.float32)
-            sw = segment_reduce(cat_xyz * w[:, None], vm.point_seg_ids,
-                                caps.voxels, "sum")
-            sa = segment_reduce(w, vm.point_seg_ids, caps.voxels, "sum")
-            centroid = sw / jnp.maximum(sa, 1e-6)[:, None]
+            # one fused 4-ch sum (weighted xyz + weight) instead of two
+            swa = segment_reduce(
+                jnp.concatenate([cat_xyz * w[:, None], w[:, None]], -1),
+                vm.point_seg_ids, caps.voxels, "sum")
+            centroid = swa[:, :3] / jnp.maximum(swa[:, 3], 1e-6)[:, None]
         else:
             centroid = ind_xyz[:, 1:]
 
