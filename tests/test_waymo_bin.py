@@ -99,3 +99,55 @@ def test_waymo_dataset_format_results(tmp_path):
     assert objs[0]["context_name"] == "seg0"
     # internal AP fallback also computed
     assert any(k for k in out if k != "bin")
+
+
+def test_create_submission_round_trip(tmp_path):
+    """tools/create_submission.py packages prediction bins into sharded
+    Submission protos (schema recovered from the official binary); every
+    object lands in exactly one shard and the metadata survives."""
+    import os
+    import subprocess
+    import sys
+
+    from sst_tpu.core.waymo_bin import _parse_fields, write_waymo_bin
+
+    frames = [dict(
+        boxes=np.array([[1.0, 2.0, -0.5, 2.0, 4.5, 1.8, 0.3],
+                        [5.0, -3.0, -0.2, 0.8, 0.9, 1.7, -1.0]], np.float32),
+        scores=np.array([0.9, 0.7], np.float32),
+        labels=np.array([0, 1], np.int32),
+        context_name="ctx_a", timestamp_micros=1234567,
+    ), dict(
+        boxes=np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]], np.float32),
+        scores=np.array([0.5], np.float32),
+        labels=np.array([2], np.int32),
+        context_name="ctx_b", timestamp_micros=7654321,
+    )]
+    bin_path = str(tmp_path / "pred.bin")
+    write_waymo_bin(bin_path, frames)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_prefix = str(tmp_path / "sub")
+    r = subprocess.run(
+        [sys.executable, "tools/create_submission.py",
+         "--input-filenames", bin_path,
+         "--submission-filename", "tools/sub_example.txt",
+         "--output-filename", out_prefix, "--num-shards", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    total = 0
+    for s in range(2):
+        with open(f"{out_prefix}{s}", "rb") as f:
+            blob = f.read()
+        fields = _parse_fields(blob)
+        by_num = {}
+        for fn, wt, v in fields:
+            by_num.setdefault(fn, []).append(v)
+        assert by_num[1] == [2]                      # task DETECTION_3D
+        assert by_num[2][0] == b"sst_tpu"            # unique_method_name
+        assert len(by_num[3]) == 2                   # authors
+        assert by_num[12] == [1]                     # LIDAR_ALL
+        objs = [v for fn, wt, v in _parse_fields(by_num[11][0]) if fn == 1]
+        total += len(objs)
+    assert total == 3  # every object in exactly one shard
