@@ -114,3 +114,76 @@ def test_dist_train_wrapper_checks_devices():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode != 0
     assert "--expect-devices 997" in (r.stdout + r.stderr)
+
+
+def test_analyze_logs_cli(tmp_path):
+    import json as _json
+    log = tmp_path / "train_log.jsonl"
+    with open(log, "w") as f:
+        for i in range(1, 6):
+            f.write(_json.dumps({"step": i * 50, "wall": i * 10.0,
+                                 "loss_total": 5.0 / i}) + "\n")
+    r = _run(["tools/analysis_tools/analyze_logs.py", "cal_train_time",
+              str(log)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "per-step time" in r.stdout
+    out = tmp_path / "c.png"
+    r = _run(["tools/analysis_tools/analyze_logs.py", "plot_curve", str(log),
+              "--keys", "loss_total", "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_eval_nus_json_cli(tmp_path):
+    """Perfect global-frame predictions against a synthesized info pkl score
+    NDS ~1 (the tool inverts the lidar->ego->global chain)."""
+    import json as _json
+    import pickle as _pkl
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    classes = ("car", "pedestrian")
+    # one sample, ego rotated 30deg and offset
+    yaw_e = np.pi / 6
+    q_eg = [np.cos(yaw_e / 2), 0, 0, np.sin(yaw_e / 2)]
+    t_eg = [100.0, -50.0, 1.0]
+    gt = np.array([[5.0, 2.0, -1.0, 2.0, 4.0, 1.6, 0.4],
+                   [-3.0, 7.0, -0.8, 0.7, 0.8, 1.7, -1.2]], np.float32)
+    names = ["car", "pedestrian"]
+    info = dict(token="tok0", gt_boxes=gt, gt_names=names,
+                gt_velocity=np.zeros((2, 2), np.float32),
+                lidar2ego_rotation=[1.0, 0, 0, 0],
+                lidar2ego_translation=[0.0, 0.0, 0.0],
+                ego2global_rotation=q_eg, ego2global_translation=t_eg)
+    info_path = tmp_path / "infos.pkl"
+    with open(info_path, "wb") as f:
+        _pkl.dump([info], f)
+
+    # build global-frame submission entries from the lidar gt
+    R = np.array([[np.cos(yaw_e), -np.sin(yaw_e), 0],
+                  [np.sin(yaw_e), np.cos(yaw_e), 0], [0, 0, 1]])
+    entries = []
+    for row, name in zip(gt, names):
+        ctr = row[:3].copy(); ctr[2] += row[5] / 2
+        g = R @ ctr + np.asarray(t_eg)
+        gyaw = row[6] + yaw_e
+        entries.append(dict(
+            translation=g.tolist(), size=row[3:6].tolist(),
+            rotation=[float(np.cos(gyaw / 2)), 0.0, 0.0,
+                      float(np.sin(gyaw / 2))],
+            velocity=[0.0, 0.0], detection_name=name, detection_score=0.9))
+    res_path = tmp_path / "results_nusc.json"
+    with open(res_path, "w") as f:
+        _json.dump({"results": {"tok0": entries}, "meta": {}}, f)
+
+    r = _run(["tools/analysis_tools/eval_nus_json.py", str(res_path),
+              "--info-path", str(info_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    last = r.stdout.strip().splitlines()[-1]
+    out = _json.loads(last)
+    # per-class APs perfect for the two present classes (the global mAP/NDS
+    # average over all 10 detection classes, 8 of which have no gt here)
+    for cls in ("car", "pedestrian"):
+        for t in (0.5, 1.0, 2.0, 4.0):
+            assert out[f"{cls}_AP_dist_{t}"] > 0.99, out
+    assert out["mATE"] < 0.01 and out["mAOE"] < 0.01, out
