@@ -61,8 +61,13 @@ class WindowAttention(nn.Module):
         # 2-4x faster than the einsum path); cosine mode + CPU use einsum.
         import os
 
+        # single-device only by default: pallas_call is opaque to pjit's
+        # GSPMD partitioner, so a sharded multi-chip mesh must take the
+        # einsum path (SST_TPU_FORCE_PALLAS overrides for shard_map users).
         use_pallas = (
             (not self.cosine) and jax.default_backend() == "tpu"
+            and (len(jax.devices()) == 1
+                 or os.environ.get("SST_TPU_FORCE_PALLAS"))
             and not os.environ.get("SST_TPU_NO_PALLAS_MHA")
         )
         # ONE wide gather instead of three: row-gather cost on TPU is
