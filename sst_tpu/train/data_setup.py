@@ -136,3 +136,46 @@ def build_train_dataset(cfg, model, synthetic: bool = False, seed: int = 0,
         raise ValueError(f"unknown data.dataset {ds_kind!r}")
 
     return dataset, collate, ds_kind, train_pipeline_cfg
+
+
+def build_val_dataset(cfg, model, synthetic: bool = False,
+                      num_samples: int = 32):
+    """Validation dataset for in-train evaluation (the reference's
+    ``evaluation = dict(interval=...)`` EvalHook). PointBatch families only —
+    FSD++ sequential and CTRL tracklet evaluation stay in tools/test.py
+    (--sequential), matching the reference's separate sequential test path.
+
+    Returns (dataset, class_names) or (None, None) when the configured
+    dataset kind has no in-train eval path.
+    """
+    from sst_tpu.data.pipelines import build_pipeline
+
+    data_cfg = cfg.get("data", {})
+    cap = cfg.get("capacity", {})
+    max_points = cap.get("max_points", 65536)
+    pipeline = build_pipeline([
+        dict(type="PointsRangeFilter",
+             point_cloud_range=model.point_cloud_range),
+        dict(type="PadToCap", max_points=max_points),
+    ])
+    ds_kind = "synthetic" if synthetic else data_cfg.get("dataset", "waymo")
+    if ds_kind == "synthetic":
+        from sst_tpu.data.datasets import SyntheticDataset
+
+        ds = SyntheticDataset(
+            num_samples=num_samples, num_points=min(max_points, 32768),
+            pc_range=model.point_cloud_range, pipeline=pipeline, seed=991)
+        return ds, list(ds.CLASSES)
+    if ds_kind not in ("waymo", "nuscenes", "argo2"):
+        return None, None
+    if "val_info_path" not in data_cfg:
+        return None, None
+    from sst_tpu.data.datasets import (Argo2Dataset, NuScenesDataset,
+                                       WaymoDataset)
+
+    cls = {"waymo": WaymoDataset, "nuscenes": NuScenesDataset,
+           "argo2": Argo2Dataset}[ds_kind]
+    ds = cls(data_root=data_cfg.get("data_root", ""),
+             info_path=data_cfg["val_info_path"], pipeline=pipeline,
+             test_mode=True)
+    return ds, list(ds.classes)

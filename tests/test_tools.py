@@ -127,3 +127,27 @@ def test_head_velocity_branch():
     res = head.get_bboxes(outs, xyz, batch_idx, valid, 1, max_num=8,
                           nms_pre=16)
     assert res["boxes"].shape[-1] == 9
+
+
+def test_train_cli_in_train_eval(tmp_path):
+    """--eval-interval runs the EvalHook equivalent: a val pass at the
+    interval writes val/* metrics to the jsonl log."""
+    import json
+    import os
+
+    env = dict(os.environ)
+    env["SST_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    wd = str(tmp_path / "wd")
+    r = subprocess.run(
+        [sys.executable, "tools/train.py", "configs/sst/sst_tiny_synthetic.py",
+         "--synthetic", "--max-steps", "2", "--eval-interval", "2",
+         "--eval-samples", "2", "--work-dir", wd],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eval @ 2" in r.stdout
+    recs = [json.loads(line) for line in
+            open(os.path.join(wd, "train_log.jsonl"))]
+    val = [m for m in recs if "val/mAP" in m]
+    assert val and val[-1]["step"] == 2

@@ -31,6 +31,12 @@ def parse_args():
                    help="use the synthetic dataset (no real data needed)")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run validation every N steps (the reference's "
+                        "evaluation=dict(interval=...) EvalHook); 0 = the "
+                        "config's evaluation.interval_steps or off")
+    p.add_argument("--eval-samples", type=int, default=32,
+                   help="cap on validation samples per in-train eval")
     p.add_argument("--cfg-options", nargs="*", default=[])
     p.add_argument("--expect-devices", type=int, default=0,
                    help="assert this many local devices are visible "
@@ -151,6 +157,55 @@ def main():
 
         aug_sched = DisableAugmentationSchedule(**cfg["disable_aug_schedule"])
 
+    # in-train evaluation (reference EvalHook): a separate test-caps model
+    # build shares the train params; the internal AP protocol scores a
+    # bounded number of val samples every eval_interval steps.
+    eval_interval = args.eval_interval or cfg.get(
+        "evaluation", {}).get("interval_steps", 0)
+    eval_model = val_ds = val_classes = eval_predict = None
+    if eval_interval:
+        from sst_tpu.train.data_setup import build_val_dataset
+
+        eval_model = build_model_from_cfg(cfg, train=False)
+        val_ds, val_classes = build_val_dataset(
+            cfg, model, synthetic=args.synthetic,
+            num_samples=args.eval_samples)
+        if val_ds is None:
+            print("in-train eval disabled: no val dataset for "
+                  f"data.dataset={cfg.get('data', {}).get('dataset')!r} "
+                  "(set data.val_info_path)", flush=True)
+            eval_interval = 0
+        else:
+            eval_predict = jax.jit(lambda v, b: eval_model.apply(
+                v, b, method=eval_model.predict))
+
+    def run_eval(state):
+        import numpy as np
+
+        from sst_tpu.core.evaluation import eval_ap
+        from sst_tpu.data.loader import DataLoader
+
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        preds, gts = [], []
+        vloader = DataLoader(val_ds, batch_size=1, shuffle=False,
+                             drop_last=False)
+        for bi, vb in enumerate(vloader):
+            if bi >= args.eval_samples:
+                break
+            out = eval_predict(variables, vb)
+            for i in range(vb.points.shape[0]):
+                ok = np.asarray(out["valid"][i])
+                preds.append({
+                    "boxes": np.asarray(out["boxes"][i])[ok][:, :7],
+                    "scores": np.asarray(out["scores"][i])[ok],
+                    "labels": np.asarray(out["labels"][i])[ok]})
+                gv = np.asarray(vb.gt_valid[i])
+                gts.append({"boxes": np.asarray(vb.gt_boxes[i])[gv][:, :7],
+                            "labels": np.asarray(vb.gt_labels[i])[gv]})
+        return eval_ap(preds, gts, val_classes)
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     # TensorBoard scalars next to the jsonl (reference default_runtime.py:5-11
     # TensorboardLoggerHook); flax's writer needs tensorflow, so it is
@@ -194,6 +249,20 @@ def main():
                         f"loss={m['loss_total']:.4f} ({m['wall']}s)",
                         flush=True,
                     )
+                if eval_interval and (step % eval_interval == 0
+                                      or step == total_steps):
+                    em = run_eval(state)
+                    em = {f"val/{k}": float(v) for k, v in em.items()
+                          if isinstance(v, (int, float))}
+                    em["step"] = step
+                    logf.write(json.dumps(em) + "\n")
+                    logf.flush()
+                    if tb is not None:
+                        for k, v in em.items():
+                            if k != "step":
+                                tb.scalar(k, v, step)
+                    head = {k: round(v, 4) for k, v in list(em.items())[:6]}
+                    print(f"eval @ {step}: {head}", flush=True)
                 if step % args.ckpt_interval == 0 or step == total_steps:
                     import orbax.checkpoint as ocp
 
