@@ -158,6 +158,8 @@ def main():
         scene_kw = dict(batch_size=1, num_points=4096, num_extra_feats=2,
                         pcr_half=3.9, num_objects=6, size_scale=0.35)
     else:
+        import jax.numpy as jnp
+
         from sst_tpu.flagship import fsdv2_waymo_dense
 
         dense_kw = ({"z_groups": args.z_groups} if args.z_groups else {})
@@ -170,6 +172,10 @@ def main():
                                                   z_groups=1),
             "sparse": lambda: fsdv2_waymo(max_points=args.num_points,
                                           backbone="sparse"),
+            # bf16 compute-policy flagship: quality A/B for the bandwidth-
+            # halving dtype before it can become the measured default
+            "dense_bf16": lambda: fsdv2_waymo_dense(
+                max_points=args.num_points, dtype=jnp.bfloat16, **dense_kw),
             # FSD two-stage pair: same segmentor swap, validated directly
             # on the heaviest family (configs/fsd/fsd_waymoD1_1x_dense.py)
             "fsd_dense": lambda: _fsd_from_cfg(
@@ -185,6 +191,7 @@ def main():
     for b in args.builds.split(","):
         results[b] = run_build(b, builders[b](), scene_kw, args)
     for dk, sk, label in (("dense", "sparse", "delta_dense_minus_sparse"),
+                          ("dense_bf16", "dense", "delta_bf16_minus_f32"),
                           ("fsd_dense", "fsd_sparse",
                            "delta_fsd_dense_minus_sparse")):
         if dk in results and sk in results:
