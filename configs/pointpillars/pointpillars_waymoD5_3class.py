@@ -13,7 +13,11 @@ model = dict(
     vfe_type="pillar",
     vfe=dict(feat_channels=(64,)),
     backbone=dict(out_channels=(64, 128, 256), layer_nums=(3, 5, 5),
-                  layer_strides=(2, 2, 2)),
+                  # (1, 2, 2): keeps every FPN level an even multiple of the
+                  # 468 grid (the reference dv_pointpillars_secfpn_waymo.py:31
+                  # strides; (2,2,2) left level 2 at 117 -> 468/117 not an
+                  # integer upsample and the FPN concat shapes diverged)
+                  layer_strides=(1, 2, 2)),
     neck=dict(out_channels=(128, 128, 128), upsample_strides=(1, 2, 4)),
     head=dict(num_classes=3, feat_channels=384),
     test_cfg=dict(score_thr=0.1, nms_thr=0.25, nms_pre=1024, max_num=500,

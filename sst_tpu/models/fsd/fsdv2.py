@@ -126,9 +126,14 @@ class SingleStageFSDV2(nn.Module):
                                            **self.mixer)
         else:
             self.mixer_mod = VirtualVoxelMixer(dtype=self.dtype, **self.mixer)
+        # configs may repeat num_classes/class_names/tasks inside the head
+        # dict (the reference writes them in both places); the model-level
+        # values win for the first two, tasks stays a head-level choice
+        head_kw = {k: v for k, v in dict(self.head).items()
+                   if k not in ("num_classes", "class_names")}
         self.head_mod = SparseClusterHeadV2(
             num_classes=self.num_classes, class_names=self.class_names,
-            dtype=self.dtype, **self.head,
+            dtype=self.dtype, **head_kw,
         )
         self.virtual_proj = MLP(self.proj_hidden, norm="ln", dtype=self.dtype)
         self.ori_proj = MLP(self.proj_hidden, norm="ln", dtype=self.dtype)

@@ -100,7 +100,8 @@ class SingleStageFSD(nn.Module):
             **self.segmentor,
         )
         self.backbone_mod = SIR(dtype=self.dtype, **self.backbone)
-        head_kw = dict(self.head)
+        head_kw = {k: v for k, v in dict(self.head).items()
+                   if k not in ("num_classes", "class_names")}
         if self.group_names is not None:
             head_kw.setdefault("tasks", self.group_names)
         self.head_mod = SparseClusterHeadV2(

@@ -39,3 +39,41 @@ def test_every_config_builds(path):
     for train in (True, False):
         model = build_model_from_cfg(cfg, train=train)
         assert model is not None
+
+
+POINTBATCH_TYPES = ("DynamicVoxelNet", "PointPillars", "SingleStageFSD",
+                    "FSD", "SingleStageFSDV2", "FSDV2")
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs/**/*.py"), recursive=True)
+    if "_base_" not in p
+)
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: os.path.relpath(p, REPO))
+def test_every_config_init_traces_at_full_caps(path):
+    """setup() + a full forward SHAPE trace at the config's real capacities
+    (jax.eval_shape — no compile): catches constructor-kwarg collisions and
+    cap/shape inconsistencies that lazy flax setup hides from the build-only
+    test (e.g. a head dict repeating class_names crashed only at init)."""
+    import jax
+    import jax.numpy as jnp
+
+    import sst_tpu.models  # noqa: F401  (registers)
+    from sst_tpu.models import PointBatch
+    from sst_tpu.utils.builders import build_model_from_cfg
+
+    cfg = load_config(path)
+    if cfg.get("model", {}).get("type") not in POINTBATCH_TYPES:
+        pytest.skip("non-PointBatch family (FSD++/CTRL have their own tests)")
+    model = build_model_from_cfg(cfg, train=True)
+    npts = cfg.get("capacity", {}).get("max_points", 65536)
+    batch = PointBatch(
+        points=jnp.zeros((1, npts, 6), jnp.float32),
+        valid=jnp.ones((1, npts), bool),
+        gt_boxes=jnp.zeros((1, 48, 9), jnp.float32),
+        gt_labels=jnp.zeros((1, 48), jnp.int32),
+        gt_valid=jnp.ones((1, 48), bool),
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1),
+            "sampler": jax.random.PRNGKey(2)}
+    jax.eval_shape(lambda b: model.init(rngs, b, train=False), batch)
