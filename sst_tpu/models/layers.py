@@ -45,11 +45,20 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         if train:
+            # Under the shard_map train step the statistics are psum'd over
+            # the data axis — NaiveSyncBN parity (reference ops/norm.py:29:
+            # all-reduce of per-rank (count, sum, sumsq) because per-rank
+            # voxel counts differ wildly). Under pjit/GSPMD the arrays are
+            # global and XLA inserts the same collectives automatically.
+            from sst_tpu.utils.dist import psum_if_dist
+
             m = mask.astype(jnp.float32)[:, None]
-            n = jnp.maximum(m.sum(), 1.0)
             xf = x.astype(jnp.float32)
-            mean = (xf * m).sum(0) / n
-            var = ((xf - mean) ** 2 * m).sum(0) / n
+            s0, s1, s2 = psum_if_dist(
+                (m.sum(), (xf * m).sum(0), (jnp.square(xf) * m).sum(0)))
+            n = jnp.maximum(s0, 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

@@ -43,6 +43,9 @@ class WindowAttention(nn.Module):
     cosine: bool = False  # Swin-v2 cosine attention (cosine_msa.py:449)
     tau_min: float = 0.01
     non_shared_tau: bool = False
+    # None = auto (single TPU device, or inside the shard_map train step);
+    # config key ``use_pallas`` forces the fused kernel on/off.
+    use_pallas: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,14 +64,28 @@ class WindowAttention(nn.Module):
         # 2-4x faster than the einsum path); cosine mode + CPU use einsum.
         import os
 
-        # single-device only by default: pallas_call is opaque to pjit's
-        # GSPMD partitioner, so a sharded multi-chip mesh must take the
-        # einsum path (SST_TPU_FORCE_PALLAS overrides for shard_map users).
+        from sst_tpu.utils.dist import data_axis
+
+        # pallas_call is opaque to pjit's GSPMD partitioner, so the kernel
+        # runs when each device sees a whole (per-shard) array: single
+        # device, or inside the shard_map train step (utils/dist.py binds
+        # the axis). SST_TPU_FORCE_PALLAS overrides for external shard_map
+        # users; SST_TPU_PALLAS_INTERPRET exercises the kernel path on CPU
+        # meshes (tests).
+        if self.use_pallas is not None:
+            auto = self.use_pallas
+        else:
+            auto = bool(
+                os.environ.get("SST_TPU_FORCE_PALLAS")
+                or os.environ.get("SST_TPU_PALLAS_INTERPRET")
+                or (jax.default_backend() == "tpu"
+                    and (len(jax.devices()) == 1
+                         or data_axis() is not None))
+            )
         use_pallas = (
-            (not self.cosine) and jax.default_backend() == "tpu"
-            and (len(jax.devices()) == 1
-                 or os.environ.get("SST_TPU_FORCE_PALLAS"))
+            (not self.cosine)
             and not os.environ.get("SST_TPU_NO_PALLAS_MHA")
+            and auto
         )
         # ONE wide gather instead of three: row-gather cost on TPU is
         # per-row-bound, not bandwidth-bound (profiled 165 GB/s at 512 B
@@ -132,20 +149,25 @@ class EncoderLayer(nn.Module):
     activation: str = "gelu"
     post_norm: bool = True
     cosine: bool = False
+    use_pallas: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, f2w):
         act = ACTIVATIONS[self.activation]
         if self.post_norm:
-            src2 = WindowAttention(self.d_model, self.nhead, self.cosine, dtype=self.dtype)(src, pos, f2w)
+            src2 = WindowAttention(self.d_model, self.nhead, self.cosine,
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype)(src, pos, f2w)
             src = nn.LayerNorm(dtype=self.dtype)(src + src2)
             src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
             src2 = nn.Dense(self.d_model, dtype=self.dtype)(act(src2))
             src = nn.LayerNorm(dtype=self.dtype)(src + src2)
         else:
             src2 = nn.LayerNorm(dtype=self.dtype)(src)
-            src2 = WindowAttention(self.d_model, self.nhead, self.cosine, dtype=self.dtype)(src2, pos, f2w)
+            src2 = WindowAttention(self.d_model, self.nhead, self.cosine,
+                                   use_pallas=self.use_pallas,
+                                   dtype=self.dtype)(src2, pos, f2w)
             src = src + src2
             src2 = nn.LayerNorm(dtype=self.dtype)(src)
             src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src2)
@@ -161,6 +183,7 @@ class BasicShiftBlock(nn.Module):
     dim_feedforward: int
     activation: str = "gelu"
     cosine: bool = False
+    use_pallas: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -168,7 +191,8 @@ class BasicShiftBlock(nn.Module):
         for i in range(2):
             src = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.activation, cosine=self.cosine, dtype=self.dtype,
+                self.activation, cosine=self.cosine,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"encoder_{i}",
             )(src, plan.pos[i], plan.f2w[i])
         return src
@@ -208,6 +232,7 @@ class SSTv2(nn.Module):
     to_bev: bool = True
     conv_shortcut: bool = False
     cosine: bool = False  # Swin-v2 cosine attention in every block
+    use_pallas: bool | None = None  # config override of the fused-MHA gate
     remat_blocks: bool = True  # jax.checkpoint each block (HBM for FLOPs)
     dtype: jnp.dtype = jnp.float32
 
@@ -221,7 +246,8 @@ class SSTv2(nn.Module):
         for i in range(self.num_blocks):
             x = block_cls(
                 self.d_model[i], self.nhead[i], self.dim_feedforward[i],
-                self.activation, cosine=self.cosine, dtype=self.dtype,
+                self.activation, cosine=self.cosine,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"block_{i}",
             )(x, plan)
 

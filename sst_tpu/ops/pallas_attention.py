@@ -118,9 +118,16 @@ def _attn_pieces(q, k, v, pad_mask, nhead):
     return out.reshape(w, t, c), p, (q4, k4, v4)
 
 
+def _env_interpret() -> bool:
+    import os
+
+    return bool(os.environ.get("SST_TPU_PALLAS_INTERPRET"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _window_mha_vjp(q, k, v, pad_mask, nhead: int):
-    return _window_mha_fwd_impl(q, k, v, pad_mask, nhead)
+    return _window_mha_fwd_impl(q, k, v, pad_mask, nhead,
+                                interpret=_env_interpret())
 
 
 def window_mha(q, k, v, pad_mask, nhead: int):
@@ -130,7 +137,8 @@ def window_mha(q, k, v, pad_mask, nhead: int):
 
 
 def _mha_fwd(q, k, v, pad_mask, nhead):
-    out = _window_mha_fwd_impl(q, k, v, pad_mask, nhead)
+    out = _window_mha_fwd_impl(q, k, v, pad_mask, nhead,
+                               interpret=_env_interpret())
     return out, (q, k, v, pad_mask)
 
 

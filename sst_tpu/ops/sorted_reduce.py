@@ -14,11 +14,17 @@ Kernel shape (``_sorted_reduce_kernel``):
     rows [j*B, (j+1)*B) and consumes exactly the input rows whose (sorted,
     dense, nondecreasing) segment id falls in that range — located with one
     host-side ``searchsorted`` over the chunk boundaries.
-  * the input rows for a block are streamed through VMEM in B-aligned chunks
-    with double-buffered DMA; rows of neighbouring blocks that share a chunk
-    are masked for free by the local-id one-hot.
-  * mode='sum': the per-chunk reduction IS a matmul — onehot[l, r] @ chunk
-    [r, C] on the MXU.
+  * there is a SINGLE tile-aligned DMA stream: the host packs rows into an
+    [N_pad, C_pad] f32 array whose lane ``c`` carries the row's segment id
+    (exact in f32 for ids < 2**24) and whose lane count is a multiple of 128,
+    so every HBM slice obeys the (8, 128) Mosaic tiling.  Chunks are streamed
+    through VMEM with double-buffered DMA; rows of neighbouring blocks that
+    share a chunk are masked for free by the local-id one-hot.
+  * the id column [B, 1] is recovered in-kernel by a masked lane-max over the
+    id lane's 128-lane group; the one-hot is built as ``M[r, l] = lid[r]==l``
+    and contracted over ``r`` (an lhs-transposed matmul) so the kernel never
+    needs a vector transpose.
+  * mode='sum': the per-chunk reduction IS a matmul — M^T @ chunk on the MXU.
   * mode='max': an in-chunk segmented Hillis-Steele scan (log2(B) vector
     steps — rows of one segment are contiguous, so "same segment within
     distance d" is exact), then a run-last one-hot matmul picks each
@@ -47,73 +53,75 @@ from sst_tpu.ops.segment import segment_reduce
 _NEG = -3.0e38  # finite stand-in for -inf (avoids inf arithmetic in VMEM)
 
 
-def _seg_scan_max(vals, lid_col, block: int):
+def _seg_scan_max(vals, idcol, block: int):
     """Inclusive segmented max scan down rows of ``vals`` [B, C]; rows with
-    equal ``lid_col`` [B, 1] form contiguous runs (sorted input)."""
+    equal ``idcol`` [B, 1] form contiguous runs (sorted input)."""
     d = 1
     row = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     while d < block:
         shifted = jnp.concatenate(
             [jnp.full((d,) + vals.shape[1:], _NEG, vals.dtype), vals[:-d]], 0)
-        lid_shift = jnp.concatenate(
-            [jnp.full((d, 1), -2, lid_col.dtype), lid_col[:-d]], 0)
-        same = (lid_col == lid_shift) & (row >= d)
+        id_shift = jnp.concatenate(
+            [jnp.full((d, 1), -2.0, idcol.dtype), idcol[:-d]], 0)
+        same = (idcol == id_shift) & (row >= d)
         vals = jnp.where(same, jnp.maximum(vals, shifted), vals)
         d *= 2
     return vals
 
 
-def _sorted_reduce_kernel(t0s, t1s, data_hbm, segr_hbm, segc_hbm, out_ref,
-                          dbuf, srbuf, scbuf, sems, *, block: int, mode: str):
+def _sorted_reduce_kernel(t0s, t1s, data_hbm, out_ref, dbuf, sems, *,
+                          block: int, mode: str, id_lane: int):
     j = pl.program_id(0)
     t0 = t0s[j]
     t1 = t1s[j]
     seg_base = j * block
     out_ref[:] = jnp.full_like(out_ref, 0.0 if mode == "sum" else _NEG)
+    c_pad = out_ref.shape[1]
 
-    def dmas(slot, t):
-        return (
-            pltpu.make_async_copy(
-                data_hbm.at[pl.ds(t * block, block), :], dbuf.at[slot],
-                sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                segr_hbm.at[pl.ds(t, 1), :], srbuf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(
-                segc_hbm.at[:, pl.ds(t, 1)], scbuf.at[slot], sems.at[slot, 2]),
-        )
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            data_hbm.at[pl.ds(t * block, block), :], dbuf.at[slot],
+            sems.at[slot])
 
     @pl.when(t0 < t1)
     def _():
-        for dma in dmas(t0 % 2, t0):
-            dma.start()
+        dma(t0 % 2, t0).start()
 
     def body(t, carry):
         slot = t % 2
 
         @pl.when(t + 1 < t1)
         def _():
-            for dma in dmas((t + 1) % 2, t + 1):
-                dma.start()
+            dma((t + 1) % 2, t + 1).start()
 
-        for dma in dmas(slot, t):
-            dma.wait()
-        chunk = dbuf[slot]                     # [B, C]
-        lid_row = srbuf[slot] - seg_base       # [1, B]
-        lid_col = scbuf[slot] - seg_base       # [B, 1]
-        liota = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-        onehot = lid_row == liota              # [B(l), B(r)]
+        dma(slot, t).wait()
+        chunk = dbuf[slot]                     # [B, C_pad] (lane id_lane = seg id)
+        # id column [B, 1]: masked lane-max over the id lane's 128-lane group
+        # (ids are >= 0; other lanes masked to -1).
+        g0 = (id_lane // 128) * 128
+        grp = chunk[:, g0:g0 + 128]
+        lmask = jax.lax.broadcasted_iota(
+            jnp.int32, (block, 128), 1) == (id_lane - g0)
+        idcol = jnp.max(jnp.where(lmask, grp, -1.0), axis=1, keepdims=True)
+        lid = idcol.astype(jnp.int32) - seg_base          # [B, 1]
+        liota = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        m = lid == liota                                  # [B(r), B(l)]
+        contract_r = (((0,), (0,)), ((), ()))
+        # HIGHEST: the MXU's default bf16 passes round the f32 payload rows
+        # (~4e-3 rel error); the one-hot contraction must be exact-f32.
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=contract_r,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         if mode == "sum":
-            out_ref[:] += jax.lax.dot(
-                onehot.astype(chunk.dtype), chunk,
-                preferred_element_type=jnp.float32)
+            out_ref[:] += dot(m.astype(chunk.dtype), chunk)
         else:
-            scanned = _seg_scan_max(chunk, lid_col, block)
+            scanned = _seg_scan_max(chunk, idcol, block)
             nxt = jnp.concatenate(
-                [lid_row[:, 1:], jnp.full((1, 1), -2, lid_row.dtype)], 1)
-            sel = (onehot & (lid_row != nxt)).astype(chunk.dtype)
-            partial = jax.lax.dot(sel, scanned,
-                                  preferred_element_type=jnp.float32)
-            present = jnp.sum(sel, axis=1, keepdims=True) > 0
+                [idcol[1:], jnp.full((1, 1), -2.0, idcol.dtype)], 0)
+            sel = (m & (idcol != nxt)).astype(chunk.dtype)  # [r, l]
+            partial = dot(sel, scanned)
+            present = dot(sel, jnp.ones((block, 1), chunk.dtype)) > 0  # [l,1]
             out_ref[:] = jnp.maximum(
                 out_ref[:], jnp.where(present, partial, _NEG))
         return carry
@@ -131,45 +139,42 @@ def _sorted_reduce_fwd_impl(data, seg, num_segments: int, mode: str,
     b = block
     v_pad = -(-num_segments // b) * b
     n_pad = -(-n // b) * b
-    # invalid / overflow rows (seg >= num_segments) and row padding must land
-    # outside every output block: remap past the padded segment range.
-    segk = jnp.where(seg >= num_segments, v_pad, seg).astype(jnp.int32)
+    c_pad = -(-(c + 1) // 128) * 128  # data lanes [0,c), id lane c, zeros after
+    # invalid / overflow rows (seg outside [0, num_segments)) and row padding
+    # must land outside every output block: remap past the padded seg range.
+    segk = jnp.where(
+        (seg < 0) | (seg >= num_segments), v_pad, seg).astype(jnp.int32)
     segk = jnp.concatenate(
         [segk, jnp.full((n_pad - n,), v_pad, jnp.int32)])
-    datap = jnp.pad(data.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    datap = jnp.pad(data.astype(jnp.float32),
+                    ((0, n_pad - n), (0, c_pad - c)))
+    datap = datap.at[:, c].set(segk.astype(jnp.float32))
     bounds = jnp.searchsorted(
         segk, jnp.arange(0, v_pad + 1, b, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     t0s = bounds[:-1] // b
     t1s = (bounds[1:] + b - 1) // b
-    seg_row = segk.reshape(n_pad // b, b)
-    seg_col = seg_row.T
     grid = v_pad // b
 
     out = pl.pallas_call(
-        functools.partial(_sorted_reduce_kernel, block=b, mode=mode),
+        functools.partial(_sorted_reduce_kernel, block=b, mode=mode,
+                          id_lane=c),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (b, c), lambda j, t0s, t1s: (j, 0),
+                (b, c_pad), lambda j, t0s, t1s: (j, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, b, c), jnp.float32),
-                pltpu.VMEM((2, 1, b), jnp.int32),
-                pltpu.VMEM((2, b, 1), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((2, b, c_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((v_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v_pad, c_pad), jnp.float32),
         interpret=interpret,
-    )(t0s, t1s, datap, seg_row, seg_col)
-    return out[:num_segments].astype(data.dtype)
+    )(t0s, t1s, datap)
+    return out[:num_segments, :c].astype(data.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -179,13 +184,21 @@ def sorted_segment_reduce(data, seg, num_segments: int, mode: str = "sum",
 
     Args:
       data: [N, C] rows grouped by segment (the voxel sort's order).
-      seg: [N] int32 nondecreasing dense ids; >= num_segments = dropped.
+      seg: [N] int32 nondecreasing dense ids; outside [0, num_segments) =
+        dropped.
       num_segments: static output rows.
       mode: 'sum' | 'max'.
     Returns [num_segments, C]; empty segments are 0 (torch_scatter zero-init
     convention, like ops.segment.segment_reduce).
     """
     if not interpret and jax.default_backend() != "tpu":
+        import os
+
+        if os.environ.get("SST_TPU_PALLAS_INTERPRET"):
+            interpret = True  # CPU-mesh tests exercise the kernel path
+        else:
+            return segment_reduce(data, seg, num_segments, mode)
+    if num_segments >= (1 << 24) - block:  # ids must stay exact in f32 lanes
         return segment_reduce(data, seg, num_segments, mode)
     return _sorted_reduce_fwd_impl(data, seg, num_segments, mode, block,
                                    interpret)
@@ -201,17 +214,19 @@ def _fwd(data, seg, num_segments, mode, block, interpret):
 def _bwd(num_segments, mode, block, interpret, res, g):
     if mode == "sum":
         (seg,) = res
-        keep = (seg < num_segments)[:, None]
-        gd = jnp.where(keep, g[jnp.minimum(seg, num_segments - 1)], 0.0)
+        keep = ((seg >= 0) & (seg < num_segments))[:, None]
+        safe = jnp.clip(seg, 0, num_segments - 1)
+        gd = jnp.where(keep, g[safe], 0.0)
         return gd.astype(g.dtype), None
     data, seg, out = res
     n = data.shape[0]
-    safe = jnp.minimum(seg, num_segments - 1)
-    is_max = (data == out[safe]) & (seg < num_segments)[:, None]
+    keep = (seg >= 0) & (seg < num_segments)
+    safe = jnp.clip(seg, 0, num_segments - 1)
+    is_max = (data == out[safe]) & keep[:, None]
     rows = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], data.shape)
     rows = jnp.where(is_max, rows, n)
-    argmax = jax.ops.segment_min(rows, seg, num_segments=num_segments)
+    argmax = jax.ops.segment_min(rows, safe, num_segments=num_segments)
     gd = jnp.where(rows == argmax[safe], g[safe], 0.0)
     return gd.astype(data.dtype), None
 
