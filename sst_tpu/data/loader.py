@@ -18,12 +18,18 @@ from sst_tpu.data.datasets import collate_to_batch
 
 
 def weak_shuffle_indices(seq_ids: np.ndarray, shard_size: int, seed: int,
-                         epoch: int) -> np.ndarray:
+                         epoch: int, num_shards: int = 1,
+                         shard_id: int = 0) -> np.ndarray:
     """Sequence-shard-aware shuffle (reference DistributedSampler weak_shuffle,
     apis/samplers.py:35-100 get_seq_shard_indices): indices are grouped into
     contiguous shards of one sequence each (capped at shard_size), shard
     ORDER is shuffled but intra-shard time order is preserved — FSD++/CTRL
-    need temporally ordered neighbors while still mixing sequences."""
+    need temporally ordered neighbors while still mixing sequences.
+
+    With num_shards > 1 (multi-host), WHOLE sequence-shards are dealt
+    round-robin over processes after the seeded shuffle, so every process
+    keeps temporally contiguous runs (the reference's per-rank seq-shard
+    assignment, apis/samplers.py:59)."""
     seq_ids = np.asarray(seq_ids)
     n = len(seq_ids)
     shards = []
@@ -35,7 +41,10 @@ def weak_shuffle_indices(seq_ids: np.ndarray, shard_size: int, seed: int,
             start = i
     rng = np.random.RandomState(seed + epoch)
     order = rng.permutation(len(shards))
-    return np.concatenate([shards[o] for o in order])
+    if num_shards > 1:
+        order = order[shard_id::num_shards]
+    return np.concatenate([shards[o] for o in order]) if len(order) else \
+        np.zeros((0,), np.int64)
 
 
 def sequential_lane_indices(seq_ids: np.ndarray, num_lanes: int) -> list:
@@ -63,7 +72,14 @@ class DataLoader:
                  num_workers: int = 2, seed: int = 0, drop_last: bool = True,
                  collate: Callable = collate_to_batch,
                  weak_shuffle_seq_ids: Sequence | None = None,
-                 weak_shuffle_shard_size: int = 20):
+                 weak_shuffle_shard_size: int = 20,
+                 num_shards: int = 1, shard_id: int = 0):
+        """batch_size is PER PROCESS. With num_shards > 1 (multi-host
+        training: num_shards=jax.process_count(), shard_id=process_index()),
+        each process iterates a disjoint slice of the epoch — the reference's
+        DistributedSampler (apis/samplers.py:13: stride rank::world after the
+        seeded shuffle; weak_shuffle variant keeps whole sequence-shards per
+        rank, :59 get_seq_shard_indices)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -73,6 +89,9 @@ class DataLoader:
         self.collate = collate
         self.weak_shuffle_seq_ids = weak_shuffle_seq_ids
         self.weak_shuffle_shard_size = weak_shuffle_shard_size
+        assert 0 <= shard_id < num_shards
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.epoch = 0
 
     def _indices(self):
@@ -81,17 +100,22 @@ class DataLoader:
             idx = weak_shuffle_indices(
                 self.weak_shuffle_seq_ids, self.weak_shuffle_shard_size,
                 self.seed, self.epoch,
+                num_shards=self.num_shards, shard_id=self.shard_id,
             )
         else:
             idx = np.arange(n)
             if self.shuffle:
                 np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+            if self.num_shards > 1:
+                # same-seed global order on every process, disjoint stride
+                # per process (reference DistributedSampler semantics)
+                idx = idx[self.shard_id::self.num_shards]
         if self.drop_last:
-            idx = idx[: (n // self.batch_size) * self.batch_size]
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
         return idx
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:

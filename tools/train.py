@@ -41,6 +41,19 @@ def parse_args():
     p.add_argument("--expect-devices", type=int, default=0,
                    help="assert this many local devices are visible "
                         "(dist_train.sh chip-count argument; 0 = any)")
+    # multi-host launch (reference: torch.distributed.launch multi-node env
+    # in tools/dist_train.sh:8). One train.py process per host; on Cloud TPU
+    # pods --coordinator alone suffices (num-processes/process-id resolved
+    # from the TPU metadata by jax.distributed.initialize).
+    p.add_argument("--coordinator",
+                   default=os.environ.get("SST_TPU_COORDINATOR"),
+                   help="host:port of process 0; enables "
+                        "jax.distributed.initialize multi-host training")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("SST_TPU_NUM_PROCESSES", "0")),
+                   help="total number of train.py processes (0 = auto)")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("SST_TPU_PROCESS_ID", "0")))
     return p.parse_args()
 
 
@@ -53,6 +66,17 @@ def main():
     # Must run before the first jax.devices() call — backend init is sticky.
     if os.environ.get("SST_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+
+    if args.coordinator:
+        # multi-host: every process joins the coordination service before
+        # backend init; jax.devices() becomes the GLOBAL device set and the
+        # mesh/pjit collectives span hosts (DCN). Single-process dry-run:
+        # --coordinator localhost:<port> --num-processes 1.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.num_processes else None,
+        )
 
     if args.expect_devices and len(jax.devices()) != args.expect_devices:
         raise SystemExit(
@@ -96,7 +120,8 @@ def main():
     )
     loader_kw = {} if collate is None else {"collate": collate}
     loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed,
-                        **loader_kw)
+                        num_shards=jax.process_count(),
+                        shard_id=jax.process_index(), **loader_kw)
     total_steps = args.max_steps or cfg.get("schedule", {}).get("max_steps", 10000)
     opt_cfg = cfg.get("optimizer", {})
     tx = make_optimizer(
