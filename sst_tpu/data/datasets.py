@@ -221,11 +221,15 @@ class WaymoDataset(Custom3DDataset):
 
 
 def lidar_to_camera_annos(boxes, scores, labels, classes, rect=None,
-                          Trv2c=None):
+                          Trv2c=None, P2=None, image_shape=None):
     """LiDAR 7-dof predictions → a KITTI-format anno dict (camera frame),
-    the inverse of camera_to_lidar_boxes; image bbox is filled with a
-    never-size-ignored placeholder (no camera projection in this lidar-only
-    framework)."""
+    the inverse of camera_to_lidar_boxes.
+
+    With ``P2`` (3x4 camera projection) the image bbox is the real
+    projection of the 3D corners (reference kitti format path,
+    box_np_ops center_to_corner_box3d → project_to_image) and alpha the
+    devkit observation angle; otherwise bbox is a never-size-ignored
+    placeholder (lidar-only pipelines)."""
     boxes = np.asarray(boxes, np.float32).reshape(-1, boxes.shape[-1] if
                                                   len(boxes) else 7)
     n = len(boxes)
@@ -238,13 +242,25 @@ def lidar_to_camera_annos(boxes, scores, labels, classes, rect=None,
         loc = boxes[:, :3] if n else np.zeros((0, 3), np.float32)
         ry = boxes[:, 6] if n else np.zeros(0, np.float32)
     dims = boxes[:, [4, 5, 3]] if n else np.zeros((0, 3), np.float32)  # lhw
+    if P2 is not None and n:
+        from sst_tpu.core.frames import cam_boxes_to_image_bbox, kitti_alpha
+
+        # camera-frame rows (x_size, y_size, z_size) = (l, h, w), y = bottom
+        cam = np.concatenate(
+            [loc, dims, ry[:, None]], axis=1).astype(np.float32)
+        bbox = cam_boxes_to_image_bbox(cam, P2, image_shape)
+        alpha = kitti_alpha(loc, ry).astype(np.float32)
+    else:
+        bbox = np.tile(np.array([[0.0, 0.0, 200.0, 200.0]], np.float32),
+                       (n, 1))
+        alpha = np.asarray(ry, np.float32).copy()
     return dict(
         name=np.asarray([classes[int(l)] for l in labels]),
         location=loc.astype(np.float32),
         dimensions=dims.astype(np.float32),
         rotation_y=np.asarray(ry, np.float32),
-        bbox=np.tile(np.array([[0.0, 0.0, 200.0, 200.0]], np.float32),
-                     (n, 1)),
+        alpha=alpha,
+        bbox=bbox,
         occluded=np.zeros(n, np.int32),
         truncated=np.zeros(n, np.float32),
         score=np.asarray(scores, np.float32).reshape(-1),
@@ -275,6 +291,8 @@ class KittiDataset(WaymoDataset):
                 np.asarray(res["boxes_3d"]), np.asarray(res["scores_3d"]),
                 np.asarray(res["labels_3d"]), self.classes,
                 rect=calib.get("R0_rect"), Trv2c=calib.get("Tr_velo_to_cam"),
+                P2=calib.get("P2"),
+                image_shape=info.get("image", {}).get("image_shape"),
             ))
         return kitti_eval(gt_annos, dt_annos, tuple(self.classes))
 
@@ -363,6 +381,30 @@ class NuScenesDataset(Custom3DDataset):
                       scores=np.asarray(r["scores_3d"]),
                       labels=np.asarray(r["labels_3d"])) for r in results]
         return nusc_eval(preds, self._gt_frames(), tuple(self.classes))
+
+
+@DATASETS.register
+class LyftDataset(NuScenesDataset):
+    """Lyft L5 dataset (datasets/lyft_dataset.py): nuScenes relational
+    format with flat (unmapped) category names, no velocity; evaluated with
+    the Lyft mAP@0.5:0.95 protocol (core/eval_lyft.py, reference
+    core/evaluation/lyft_eval.py:89)."""
+
+    CLASSES = (
+        "car", "truck", "bus", "emergency_vehicle", "other_vehicle",
+        "motorcycle", "bicycle", "pedestrian", "animal",
+    )
+
+    def __init__(self, *args, with_velocity: bool = False, **kw):
+        super().__init__(*args, with_velocity=with_velocity, **kw)
+
+    def evaluate(self, results, metric: str = "lyft", **kw):
+        from sst_tpu.core.eval_lyft import lyft_eval
+
+        preds = [dict(boxes=np.asarray(r["boxes_3d"]),
+                      scores=np.asarray(r["scores_3d"]),
+                      labels=np.asarray(r["labels_3d"])) for r in results]
+        return lyft_eval(preds, self._gt_frames(), tuple(self.classes))
 
 
 @DATASETS.register

@@ -422,6 +422,41 @@ class SingleStageFSD(nn.Module):
         pipe = self.run_pipeline(batch, train, thr_extra)
         return self.losses_from_pipeline(batch, pipe)
 
+    def predict_seg(self, batch, score_thr: float = 0.5):
+        """Per-point semantic predictions + box-derived gt labels for the
+        seg-eval protocol (core/eval_seg.py; reference
+        mmdet3d/core/evaluation/seg_eval.py:69). The decode rule is
+        argmax over per-class sigmoid scores, background (= num_classes)
+        when the max score is below ``score_thr`` — the multi-label focal
+        head has no explicit bg logit. gt comes from the same
+        enlarged-gt-box containment rule the seg loss trains against
+        (segmentation_head.py:212).
+
+        Returns dict(pred [B, P], gt [B, P] — both int32 with bg =
+        num_classes — and valid [B, P])."""
+        b, p, _ = batch.points.shape
+        pts = batch.points.reshape(b * p, -1)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+        seg_out = self.segmentor_mod(
+            pts, batch_idx, batch.valid.reshape(-1), b, False)
+        scores = jax.nn.sigmoid(seg_out["seg_logits"])  # [B*P, C]
+        pred = jnp.where(scores.max(axis=-1) >= score_thr,
+                         scores.argmax(axis=-1), self.num_classes)
+
+        def tgt_single(points_s, valid_s, boxes_s, labels_s, gv_s):
+            return seg_targets(points_s[:, :3], valid_s, boxes_s, labels_s,
+                               gv_s, self.num_classes)[0]
+
+        gt = jax.vmap(tgt_single)(
+            batch.points, batch.valid, batch.gt_boxes, batch.gt_labels,
+            batch.gt_valid,
+        )
+        return {
+            "pred": pred.astype(jnp.int32).reshape(b, p),
+            "gt": gt.astype(jnp.int32).reshape(b, p),
+            "valid": batch.valid,
+        }
+
     def predict(self, batch):
         pipe = self.run_pipeline(batch, train=False, detach_seg=False)
         ex = pipe["ex"]

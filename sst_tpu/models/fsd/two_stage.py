@@ -114,6 +114,16 @@ class FSD(nn.Module):
         losses.update(roi_losses)
         return losses
 
+    @property
+    def point_cloud_range(self):
+        return self.single_stage.get(
+            "point_cloud_range", (-80.0, -80.0, -2.0, 80.0, 80.0, 4.0))
+
+    def predict_seg(self, batch, score_thr: float = 0.5):
+        """Seg-eval protocol surface (per-point pred/gt labels) — delegates
+        to the stage-1 segmentor (tools/test.py --eval seg)."""
+        return self.rpn.predict_seg(batch, score_thr)
+
     def predict(self, batch, skip_rcnn: bool = False):
         pipe = self.rpn.run_pipeline(batch, train=False, detach_seg=False)
         if skip_rcnn:

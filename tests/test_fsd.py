@@ -283,3 +283,36 @@ def test_voxel_downsample_dedups_sweep_overlap():
     # the merged slot averaged xyz and intensity of the coincident pair
     d = np.abs(merged - np.array([1.025, 1.025, 0.5, 0.4, 0.0])).sum(1)
     assert d.min() < 1e-5
+
+
+def test_predict_seg_protocol(rng):
+    """predict_seg returns per-point pred/gt labels consumable by
+    core/eval_seg.seg_eval (the --eval seg CLI path)."""
+    model = tiny_fsd()
+    batch = make_batch(rng, b=2, p=256)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, train=False)
+    out = jax.jit(
+        lambda v, b: model.apply(v, b, method=model.predict_seg)
+    )(variables, batch)
+    b, p = batch.points.shape[:2]
+    assert out["pred"].shape == (b, p) and out["gt"].shape == (b, p)
+    nc = model.num_classes
+    assert int(out["pred"].max()) <= nc and int(out["gt"].max()) <= nc
+    # gt must agree with the training-target rule (seg_targets labels)
+    from sst_tpu.models.fsd.vote_segmentor import seg_targets
+
+    lbl0 = seg_targets(batch.points[0, :, :3], batch.valid[0],
+                       batch.gt_boxes[0], batch.gt_labels[0],
+                       batch.gt_valid[0], nc)[0]
+    np.testing.assert_array_equal(np.asarray(out["gt"][0]), np.asarray(lbl0))
+    # a frame with gt boxes has at least one fg gt point
+    assert int((np.asarray(out["gt"]) < nc).sum()) > 0
+    # and the eval protocol consumes it end to end
+    from sst_tpu.core.eval_seg import seg_eval
+
+    res = seg_eval(
+        [np.asarray(out["gt"][i])[np.asarray(batch.valid[i])] for i in range(b)],
+        [np.asarray(out["pred"][i])[np.asarray(batch.valid[i])] for i in range(b)],
+        ("car", "ped", "cyc", "background"))
+    assert 0.0 <= res["acc"] <= 1.0 and "miou" in res

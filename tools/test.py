@@ -22,7 +22,11 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num-samples", type=int, default=16)
     p.add_argument("--eval", default="ap3d",
-                   choices=["ap3d", "apbev", "waymo", "none"])
+                   choices=["ap3d", "apbev", "waymo", "seg", "none"],
+                   help="'seg' = per-point mIoU/acc protocol "
+                        "(core/eval_seg.py) for segmentor / seg-pretrain "
+                        "configs; gt labels derive from gt-box containment "
+                        "exactly like the seg training targets")
     p.add_argument("--matcher", default="greedy",
                    choices=["greedy", "hungarian"],
                    help="--eval waymo matching scheme (hungarian = "
@@ -177,6 +181,22 @@ def main():
         )
     )
     variables = maybe_restore(args, model, init_fn(sample))
+
+    if args.eval == "seg":
+        from sst_tpu.core.eval_seg import seg_eval
+
+        predict_seg = jax.jit(
+            lambda v, b: model.apply(v, b, method=model.predict_seg))
+        gt_l, pred_l = [], []
+        for batch in loader:
+            out = predict_seg(variables, batch)
+            for i in range(batch.points.shape[0]):
+                valid = np.asarray(out["valid"][i])
+                gt_l.append(np.asarray(out["gt"][i])[valid])
+                pred_l.append(np.asarray(out["pred"][i])[valid])
+        res = seg_eval(gt_l, pred_l, tuple(classes) + ("background",))
+        print(json.dumps(res))
+        return
 
     predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
 
