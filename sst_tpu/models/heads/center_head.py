@@ -30,23 +30,27 @@ from sst_tpu.models.layers import ConvNormAct
 
 
 def gaussian_radius(box_wl, min_overlap: float = 0.1):
-    """CornerNet radius (centerpoint_head.py / mmdet3d utils.gaussian)."""
+    """CornerNet radius (reference core/utils/gaussian.py:56-86).
+
+    NOTE: all three roots divide by 2, NOT by 2a — the reference (and
+    upstream CenterNet/CenterPoint) keep that historical quirk, and the
+    published models trained with it, so target parity requires matching it
+    rather than the textbook quadratic root."""
     w, l = box_wl[..., 0], box_wl[..., 1]
-    a1 = 1.0
     b1 = l + w
     c1 = w * l * (1 - min_overlap) / (1 + min_overlap)
-    sq1 = jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * a1 * c1, 0.0))
+    sq1 = jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))
     r1 = (b1 + sq1) / 2
     a2 = 4.0
     b2 = 2 * (l + w)
     c2 = (1 - min_overlap) * w * l
     sq2 = jnp.sqrt(jnp.maximum(b2 ** 2 - 4 * a2 * c2, 0.0))
-    r2 = (b2 + sq2) / (2 * a2)
+    r2 = (b2 + sq2) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (l + w)
     c3 = (min_overlap - 1) * w * l
     sq3 = jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0.0))
-    r3 = (b3 + sq3) / (2 * a3)
+    r3 = (b3 + sq3) / 2
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
@@ -149,7 +153,11 @@ class CenterHead(nn.Module):
             r = gaussian_radius(
                 boxes[:, jnp.array([3, 4])] / stride, self.gaussian_overlap
             )
-            r = jnp.maximum(r, self.min_radius)
+            # int truncation before max(min_radius) and sigma = diameter/6,
+            # matching the reference target values exactly for pixel-aligned
+            # centers (centerpoint_head.py radius = max(min_radius, int(r));
+            # gaussian.py:37 sigma = diameter / 6)
+            r = jnp.maximum(jnp.floor(r), self.min_radius)
             sigma = (2 * r + 1) / 6.0 * stride
             cx = boxes[:, 0]
             cy = boxes[:, 1]
