@@ -49,6 +49,7 @@ CONFIGS = sorted(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path", CONFIGS, ids=lambda p: os.path.relpath(p, REPO))
 def test_every_config_init_traces_at_full_caps(path):
     """setup() + a full forward SHAPE trace at the config's real capacities
