@@ -331,6 +331,8 @@ def _bench_subprocess(which: str, timeout: int = 1500,
 
     code = (
         "import json, bench; "
+        "from sst_tpu.utils.cache import enable_persistent_cache; "
+        "enable_persistent_cache(); "
         f"out = bench.bench_{which}(); "
         "print('BENCHRESULT ' + json.dumps(out))"
     )
@@ -368,6 +370,9 @@ def _bench_family(which: str, timeout: int = 1500) -> dict:
 
 
 def main():
+    from sst_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # compile once per HEAD, not once per run
     # hardware preflight: compile+validate every Pallas kernel at real model
     # shapes on the real backend; failures flip the kernel kill-switch envs
     # (inherited by the bench subprocesses) instead of sinking the bench.

@@ -19,31 +19,46 @@ import jax.numpy as jnp
 from sst_tpu.core.iou import boxes_iou_bev, nearest_iou
 
 
-def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float,
-                     unroll: int = 8) -> jax.Array:
-    """Row-sweep greedy NMS over a score-descending set. Returns keep mask.
+def _suppress_fixpoint(sup: jax.Array, valid: jax.Array) -> jax.Array:
+    """Exact greedy suppression via Jacobi fixed-point iteration.
 
-    The sweep is inherently sequential; unrolling `unroll` rows per
-    fori_loop iteration amortizes the TPU loop-step overhead (~6 us/iter),
-    which dominates at K ~ 1024."""
+    ``sup[i, j]`` = "box i, if kept, suppresses box j" (caller must make it
+    strictly upper-triangular — rows are score-descending). The greedy
+    sweep solves the triangular recurrence
+        keep[j] = valid[j] & ~any_{i<j}(keep[i] & sup[i, j])
+    by forward substitution — K sequential steps, ~6 us of TPU loop-step
+    overhead each (~2.3 ms at K=1024, profiled on the flagship). The same
+    unique solution is reached by Jacobi iteration from keep0 = valid:
+    after t rounds every box whose suppression-DAG depth <= t is final, so
+    it converges in (longest suppression chain + 1) rounds — typically
+    3-6, each one a [K]x[K, K] bool matvec that the MXU does in ~us. The
+    early-exit test is sound: a fixpoint of the update IS the (unique)
+    solution of the triangular system."""
+    k = sup.shape[0]
+    supf = sup.astype(jnp.float32)
+
+    def cond(c):
+        it, keep, changed = c
+        return changed & (it <= k)
+
+    def body(c):
+        it, keep, _ = c
+        dead = (keep.astype(jnp.float32) @ supf) > 0.5
+        new = valid & ~dead
+        return it + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+    return keep
+
+
+def _greedy_suppress(iou: jax.Array, valid: jax.Array, thr: float) -> jax.Array:
+    """Greedy NMS keep-mask over a score-descending set (exact, see
+    _suppress_fixpoint)."""
     k = iou.shape[0]
     later = jnp.arange(k)
-
-    def step(i, keep):
-        alive = keep[i] & valid[i]
-        sup = alive & (later > i) & (iou[i] > thr)
-        return keep & ~sup
-
-    def body(bi, keep):
-        for u in range(unroll):
-            keep = step(bi * unroll + u, keep)
-        return keep
-
-    main = (k // unroll) * unroll
-    keep = jax.lax.fori_loop(0, k // unroll, body, valid)
-    for i in range(main, k):  # static remainder
-        keep = step(i, keep)
-    return keep
+    sup = (iou > thr) & (later[:, None] < later[None, :]) & valid[:, None]
+    return _suppress_fixpoint(sup, valid)
 
 
 def _pairwise_chunked(fn, boxes, chunk: int):
@@ -74,13 +89,9 @@ def nms_bev(boxes, scores, valid, thr: float, use_rotate_nms: bool = True,
 def _greedy_suppress_mask(sup_mat: jax.Array, valid: jax.Array) -> jax.Array:
     """Greedy sweep where sup_mat[i, j] == True means "i suppresses j"."""
     k = sup_mat.shape[0]
-
-    def body(i, keep):
-        alive = keep[i] & valid[i]
-        later = jnp.arange(k) > i
-        return keep & ~(alive & later & sup_mat[i])
-
-    return jax.lax.fori_loop(0, k, body, valid)
+    later = jnp.arange(k)
+    sup = sup_mat & (later[:, None] < later[None, :]) & valid[:, None]
+    return _suppress_fixpoint(sup, valid)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -170,12 +170,19 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
 
     cap_scale: multiply every batch-global capacity (voxel / fg / virtual
     caps are flattened across the batch) — set to the batch size when
-    running batched-throughput inference (bench.py bench_fsdv2_b4)."""
+    running batched-throughput inference (bench.py bench_fsdv2_b4).
+
+    dtype defaults to bfloat16 (the measured flagship policy): the 640²
+    canvas / BEV maps are HBM-bound, so the dtype halves their bytes, and
+    the convs double their MXU rate. f32 islands stay where the modules
+    keep them (BN statistics, box decode, losses); quality is A/B-gated
+    vs the f32 sparse reference topology (AB_DENSE_SPARSE_r04.json).
+    Pass dtype=jnp.float32 for the full-precision build."""
     import jax.numpy as jnp
 
     from sst_tpu.models.fsd import FSDV2Caps, SingleStageFSDV2
 
-    dtype = dtype or jnp.float32
+    dtype = dtype or jnp.bfloat16
     k = cap_scale
     return SingleStageFSDV2(
         point_cloud_range=(-80.0, -80.0, -2.0, 80.0, 80.0, 4.0),

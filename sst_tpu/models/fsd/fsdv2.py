@@ -270,18 +270,15 @@ class SingleStageFSDV2(nn.Module):
             vfe_in, cat_batch, cat_valid, self.point_cloud_range,
             self.virtual_voxel_size, caps.voxels, batch_size,
         )
-        voxel_feats = self.vfe_mod(vfe_in, vm, train)  # [V, C]
-        # one 4-ch sum instead of separate indicator/centroid mean reduces:
-        # each scatter-reduce pass is index-latency-bound (~3-5.5 ms at
-        # these row counts regardless of width), so fusing saves two full
-        # passes, and dividing by the voxelizer's counts saves the count
-        # scatter as well
-        ind_xyz = segment_reduce(
-            jnp.concatenate([indicator[:, None], cat_xyz], axis=-1),
-            vm.point_seg_ids, caps.voxels, "sum")
-        ind_xyz = ind_xyz / jnp.maximum(
-            vm.unique.counts, 1).astype(ind_xyz.dtype)[:, None]
-        vox_indicator = ind_xyz[:, 0]
+        # the indicator sum and centroid mean RIDE the VFE's cluster-center
+        # pass (models/vfe.py _decorate extra_sum): scatter-reduce passes at
+        # these row counts are index-latency-bound (~2.7 ms whether 3 or 128
+        # channels wide), so folding them saves a whole pass, and dividing
+        # by the voxelizer's counts saves the count scatter as well
+        voxel_feats, vfe_aux = self.vfe_mod(
+            vfe_in, vm, train, extra_sum=indicator[:, None])  # [V, C]
+        counts_f = jnp.maximum(vm.unique.counts, 1).astype(jnp.float32)
+        vox_indicator = vfe_aux["extra_sum"][:, 0] / counts_f
         virtual_mask = vm.voxel_valid & (vox_indicator > 0)
         # alpha-weighted centroid (single_stage_fsd_v2.py:248-260): gt-fg
         # points weigh 1.0, everything else alpha, so the regression anchor
@@ -299,7 +296,7 @@ class SingleStageFSDV2(nn.Module):
                 vm.point_seg_ids, caps.voxels, "sum")
             centroid = swa[:, :3] / jnp.maximum(swa[:, 3], 1e-6)[:, None]
         else:
-            centroid = ind_xyz[:, 1:]
+            centroid = vfe_aux["cluster_mean"]
 
         vgrid = grid_shape_zyx(self.point_cloud_range, self.virtual_voxel_size)
         if data.get("decoder_maps") is not None:

@@ -24,19 +24,34 @@ from sst_tpu.ops.voxelize import VoxelMapping
 
 def _decorate(points, valid, seg_ids, counts, coords, reduce_fn,
               point_cloud_range, voxel_size, with_cluster_center,
-              with_voxel_center, with_distance):
+              with_voxel_center, with_distance, extra_sum=None):
     """Append cluster-center and voxel-center offsets to raw point features
-    (voxel_encoder.py:255-283). Works in any consistent row order."""
+    (voxel_encoder.py:255-283). Works in any consistent row order.
+
+    ``extra_sum`` [N, E]: extra per-point channels whose per-voxel SUM the
+    caller needs (e.g. FSDv2's virtual-point indicator) — they ride the
+    cluster-center sum pass for free, because a scatter-reduce at these row
+    counts is index-latency-bound (~2.7 ms whether 3 or 128 channels wide).
+    Returns (decorated_points, aux) with aux['cluster_mean'] [V, 3] and
+    aux['extra_sum'] [V, E] when requested."""
     feats = [points]
     xyz = points[:, :3]
-    if with_cluster_center:
+    aux = {}
+    if with_cluster_center or extra_sum is not None:
         # sum + divide by the voxelizer's counts: a "mean" reduce would
         # scatter a redundant count pass (~3 ms at 196k points — each
         # scatter-reduce is index-latency-bound)
-        vox_sum = reduce_fn(xyz, "sum")
-        vox_mean = vox_sum / jnp.maximum(counts, 1).astype(vox_sum.dtype)[:, None]
-        cluster = xyz - gather_segments(vox_mean, seg_ids)
-        feats.append(cluster)
+        cols = xyz if extra_sum is None else jnp.concatenate(
+            [xyz, jnp.where(valid[:, None], extra_sum, 0.0)], axis=-1)
+        vox_sum = reduce_fn(cols, "sum")
+        vox_mean = vox_sum[:, :3] / jnp.maximum(counts, 1).astype(
+            vox_sum.dtype)[:, None]
+        aux["cluster_mean"] = vox_mean
+        if extra_sum is not None:
+            aux["extra_sum"] = vox_sum[:, 3:]
+        if with_cluster_center:
+            cluster = xyz - gather_segments(vox_mean, seg_ids)
+            feats.append(cluster)
     if with_voxel_center:
         vs = jnp.asarray(voxel_size, jnp.float32)
         pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
@@ -45,18 +60,19 @@ def _decorate(points, valid, seg_ids, counts, coords, reduce_fn,
     if with_distance:
         feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
     out = jnp.concatenate(feats, axis=-1)
-    return jnp.where(valid[:, None], out, 0.0)
+    return jnp.where(valid[:, None], out, 0.0), aux
 
 
 def decorate_points(points, vm: VoxelMapping, point_cloud_range, voxel_size,
                     with_cluster_center=True, with_voxel_center=True,
                     with_distance=False):
-    return _decorate(
+    out, _ = _decorate(
         points, vm.valid, vm.point_seg_ids, vm.unique.counts, vm.coords,
         lambda x, mode: segment_reduce(x, vm.point_seg_ids,
                                        vm.num_voxel_slots, mode),
         point_cloud_range, voxel_size, with_cluster_center, with_voxel_center,
         with_distance)
+    return out
 
 
 class DynamicVFELayer(nn.Module):
@@ -173,7 +189,11 @@ class DynamicVFE(nn.Module):
                     or os.environ.get("SST_TPU_PALLAS_INTERPRET"))
 
     @nn.compact
-    def __call__(self, points, vm: VoxelMapping, train: bool = False):
+    def __call__(self, points, vm: VoxelMapping, train: bool = False,
+                 extra_sum=None):
+        """``extra_sum`` [N, E]: extra channels summed per voxel on the
+        cluster-center pass (see _decorate); when given, returns
+        (voxel_feats, aux) with aux['cluster_mean'] / aux['extra_sum']."""
         num_vox = vm.num_voxel_slots
         if self._sorted_path(vm):
             order = vm.unique.order
@@ -181,6 +201,8 @@ class DynamicVFE(nn.Module):
             valid = vm.valid[order]
             seg = vm.point_seg_ids[order]
             coords = vm.coords[order]
+            if extra_sum is not None:
+                extra_sum = extra_sum[order]
 
             def reduce_fn(x, mode):
                 if mode == "mean":
@@ -194,12 +216,13 @@ class DynamicVFE(nn.Module):
             def reduce_fn(x, mode):
                 return segment_reduce(x, seg, num_vox, mode)
 
-        x = _decorate(
+        x, aux = _decorate(
             points, valid, seg, vm.unique.counts, coords, reduce_fn,
             self.point_cloud_range, self.voxel_size,
             self.with_cluster_center, self.with_voxel_center,
-            self.with_distance,
-        ).astype(self.dtype)
+            self.with_distance, extra_sum=extra_sum,
+        )
+        x = x.astype(self.dtype)
         n_layers = len(self.feat_channels)
         point_feats = x
         for i, c in enumerate(self.feat_channels):
@@ -211,7 +234,10 @@ class DynamicVFE(nn.Module):
                 point_feats = jnp.where(valid[:, None], point_feats, 0.0)
         if self.return_point_feats:
             return point_feats
-        return jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)
+        out = jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)
+        if extra_sum is not None:
+            return out, aux
+        return out
 
 
 class DynamicPillarFeatureNet(DynamicVFE):

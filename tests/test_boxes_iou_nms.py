@@ -128,6 +128,45 @@ def test_nms_suppresses_overlaps():
     np.testing.assert_array_equal(keep, [True, False, True, False])
 
 
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The Jacobi fixed-point sweep (core/nms.py _suppress_fixpoint) must
+    equal the sequential greedy scan EXACTLY — including long suppression
+    chains (A kills B, so B cannot kill C, so C survives, ...), the case
+    where one Jacobi round alone is wrong."""
+    from sst_tpu.core.nms import _greedy_suppress
+
+    def numpy_greedy(iou, valid, thr):
+        k = len(valid)
+        keep = valid.copy()
+        for i in range(k):
+            if not keep[i]:
+                continue
+            for j in range(i + 1, k):
+                if iou[i, j] > thr:
+                    keep[j] = False
+        return keep
+
+    rs = np.random.RandomState(7)
+    # random symmetric IoU matrices with heavy overlap
+    for trial in range(5):
+        k = 64
+        m = rs.rand(k, k).astype(np.float32)
+        iou = np.triu(m, 1) * (rs.rand(k, k) < 0.4)
+        iou = iou + iou.T
+        valid = rs.rand(k) < 0.9
+        got = np.asarray(_greedy_suppress(
+            jnp.asarray(iou), jnp.asarray(valid), 0.5))
+        np.testing.assert_array_equal(got, numpy_greedy(iou, valid, 0.5))
+    # adversarial chain: i suppresses i+1 only → keep alternates T,F,T,F...
+    k = 33
+    chain = np.zeros((k, k), np.float32)
+    for i in range(k - 1):
+        chain[i, i + 1] = chain[i + 1, i] = 0.9
+    got = np.asarray(_greedy_suppress(
+        jnp.asarray(chain), jnp.ones(k, bool), 0.5))
+    np.testing.assert_array_equal(got, np.arange(k) % 2 == 0)
+
+
 def test_multiclass_nms_shapes():
     n = 50
     rs = np.random.RandomState(1)

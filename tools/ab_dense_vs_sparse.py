@@ -43,11 +43,43 @@ def predictions_to_frames(pred, batch_size):
     return out
 
 
-def run_build(name, model, scene_kw, args):
+_POOLS = {}  # (kind, n, frozen scene_kw) -> list — shared across builds/seeds
+
+
+def _np_batch(b):
+    """Device PointBatch -> numpy-leaf PointBatch (host RAM, not HBM; jit
+    transfers ~4 MB/step, negligible next to a 300-4000 ms train step)."""
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, b)
+
+
+def get_pools(scene_kw, n_train, n_val):
+    """Train/val scene pools, generated once per scene_kw and shared across
+    every (build, seed) run: at 256 full-cap scenes the numpy generation is
+    minutes of host time, and the scenes are deliberately IDENTICAL across
+    seeds (seed variance should measure init/shuffle noise, not data
+    resampling)."""
+    from sst_tpu.flagship import synthetic_labeled_batch
+
+    key = tuple(sorted(scene_kw.items()))
+    if key not in _POOLS:
+        t0 = time.time()
+        train = [_np_batch(synthetic_labeled_batch(seed=s, **scene_kw)[0])
+                 for s in range(n_train)]
+        val = [synthetic_labeled_batch(seed=10_000 + v, **scene_kw)
+               for v in range(n_val)]
+        val = [(_np_batch(b), meta) for b, meta in val]
+        print(f"[pool] {n_train} train + {n_val} val scenes ready "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        _POOLS[key] = (train, val)
+    return _POOLS[key]
+
+
+def run_build(name, model, scene_kw, args, seed: int = 0):
     import jax
 
     from sst_tpu.core.eval_waymo import waymo_eval
-    from sst_tpu.flagship import synthetic_labeled_batch
     from sst_tpu.train import (
         create_train_state,
         make_jitted_train_step,
@@ -56,22 +88,29 @@ def run_build(name, model, scene_kw, args):
     from sst_tpu.train.schedules import FSDDetectionSchedule
 
     t_start = time.time()
-    # pre-generate the scene pool once: host-side generation per step would
-    # leave the chip idle (~1 s/scene of numpy at full caps)
-    pool = [synthetic_labeled_batch(seed=s, **scene_kw)[0]
-            for s in range(args.train_scenes)]
-    print(f"[{name}] scene pool ready ({time.time() - t_start:.0f}s)",
-          flush=True)
+    pool, val_pool = get_pools(scene_kw, args.train_scenes, args.val_scenes)
     batch0 = pool[0]
     variables = jax.jit(
         lambda b: model.init(
-            {"params": jax.random.PRNGKey(0),
-             "shuffle": jax.random.PRNGKey(1),
-             "sampler": jax.random.PRNGKey(2),
-             "seeds": jax.random.PRNGKey(3)}, b, train=False))(batch0)
+            {"params": jax.random.PRNGKey(seed),
+             "shuffle": jax.random.PRNGKey(seed + 1),
+             "sampler": jax.random.PRNGKey(seed + 2),
+             "seeds": jax.random.PRNGKey(seed + 3)}, b, train=False))(batch0)
     state = create_train_state(
         model, variables,
         make_optimizer(base_lr=args.lr, total_steps=args.steps))
+
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
+
+    def evaluate(st):
+        preds, gts = [], []
+        for batch, meta in val_pool:
+            pred = predict({"params": st.params,
+                            "batch_stats": st.batch_stats}, batch)
+            preds.extend(predictions_to_frames(pred, scene_kw["batch_size"]))
+            gts.extend(meta)
+        return waymo_eval(preds, gts,
+                          classes=("Car", "Pedestrian", "Cyclist"))
 
     # seg-only warmup then detection; buffer_start=0 keeps it to TWO
     # compiled step variants (each flagship compile is minutes on the
@@ -85,34 +124,57 @@ def run_build(name, model, scene_kw, args):
     loss_params = inspect.signature(model.loss).parameters
     step_fns = {}
     losses = []
+    trajectory = []  # [(step, {metric: val})] — mAPH-over-steps evidence
+    shuffle_rng = np.random.RandomState(seed + 17)
+    order = shuffle_rng.permutation(args.train_scenes)
+    pos = 0
+    step = 0
+    stopped_early = None
     for step in range(args.steps):
         kw = {k: v for k, v in sched(step).items() if k in loss_params}
         key = tuple(sorted(kw.items()))
         if key not in step_fns:
             step_fns[key] = make_jitted_train_step(model, loss_kwargs=kw)
-        batch = pool[step % args.train_scenes]
-        state, metrics = step_fns[key](state, batch,
-                                       jax.random.PRNGKey(1000 + step))
-        if step % 20 == 0 or step == args.steps - 1:
+        if pos >= args.train_scenes:  # reshuffle each epoch (seed-dependent)
+            order = shuffle_rng.permutation(args.train_scenes)
+            pos = 0
+        batch = pool[order[pos]]
+        pos += 1
+        state, metrics = step_fns[key](
+            state, batch, jax.random.PRNGKey(seed * 100_000 + step))
+        if step % 50 == 0 or step == args.steps - 1:
             lt = float(metrics["loss_total"])
             losses.append(round(lt, 3))
             print(f"[{name}] step {step}: loss={lt:.3f} "
                   f"({time.time() - t_start:.0f}s)", flush=True)
             assert np.isfinite(lt), f"{name} diverged at step {step}"
+        if (args.eval_every and step > args.warmup
+                and (step + 1) % args.eval_every == 0
+                and step != args.steps - 1):
+            ap_t = evaluate(state)
+            trajectory.append(
+                (step + 1, {k: ap_t[k] for k in
+                            ("Overall/L1 mAP", "Overall/L1 mAPH",
+                             "Overall/L2 mAPH")}))
+            print(f"[{name}] step {step + 1}: "
+                  f"L1 mAPH={ap_t['Overall/L1 mAPH']}", flush=True)
+        if args.max_wall_s and time.time() - t_start > args.max_wall_s:
+            stopped_early = step + 1
+            print(f"[{name}] wall budget hit at step {step + 1}", flush=True)
+            break
 
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
-    preds, gts = [], []
-    for v in range(args.val_scenes):
-        batch, meta = synthetic_labeled_batch(seed=10_000 + v, **scene_kw)
-        pred = predict({"params": state.params,
-                        "batch_stats": state.batch_stats}, batch)
-        preds.extend(predictions_to_frames(pred, scene_kw["batch_size"]))
-        gts.extend(meta)
-    ap = waymo_eval(preds, gts, classes=("Car", "Pedestrian", "Cyclist"))
+    ap = evaluate(state)
+    trajectory.append(
+        (step + 1, {k: ap[k] for k in ("Overall/L1 mAP", "Overall/L1 mAPH",
+                                       "Overall/L2 mAPH")}))
     wall = time.time() - t_start
     print(f"[{name}] done in {wall:.0f}s  L2 mAPH={ap['Overall/L2 mAPH']}",
           flush=True)
-    return {"ap": ap, "loss_curve": losses, "wall_s": round(wall, 1)}
+    out = {"ap": ap, "loss_curve": losses, "wall_s": round(wall, 1),
+           "seed": seed, "trajectory": trajectory}
+    if stopped_early is not None:
+        out["stopped_early_at_step"] = stopped_early
+    return out
 
 
 def _fsd_from_cfg(path):
@@ -134,6 +196,13 @@ def main():
     p.add_argument("--builds", default="dense,sparse")
     p.add_argument("--z-groups", type=int, default=0,
                    help="override dense build z_groups (0 = flagship default)")
+    p.add_argument("--seeds", default="0",
+                   help="comma list of init/shuffle seeds per build")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="held-out eval every N steps (mAPH trajectory)")
+    p.add_argument("--max-wall-s", type=int, default=0,
+                   help="per-run wall budget; a run past it stops early "
+                        "(recorded) so one slow arm can't sink the A/B")
     p.add_argument("--tiny", action="store_true",
                    help="tiny grids on CPU (script smoke test)")
     p.add_argument("--out", default="AB_DENSE_SPARSE.json")
@@ -146,6 +215,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from sst_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from sst_tpu.flagship import (
         fsdv2_waymo,
@@ -172,8 +245,11 @@ def main():
                                                   z_groups=1),
             "sparse": lambda: fsdv2_waymo(max_points=args.num_points,
                                           backbone="sparse"),
-            # bf16 compute-policy flagship: quality A/B for the bandwidth-
-            # halving dtype before it can become the measured default
+            # dtype arms: "dense" above IS the bf16 flagship policy (the
+            # flagship.py default); dense_f32 isolates the dtype delta,
+            # dense_bf16 kept as an alias for older result files
+            "dense_f32": lambda: fsdv2_waymo_dense(
+                max_points=args.num_points, dtype=jnp.float32, **dense_kw),
             "dense_bf16": lambda: fsdv2_waymo_dense(
                 max_points=args.num_points, dtype=jnp.bfloat16, **dense_kw),
             # FSD two-stage pair: same segmentor swap, validated directly
@@ -186,10 +262,28 @@ def main():
         scene_kw = dict(batch_size=1, num_points=args.num_points,
                         num_extra_feats=2, pcr_half=79.8, num_objects=48)
 
+    seeds = [int(s) for s in args.seeds.split(",")]
     results = {"args": vars(args), "scene_kw": {
         k: v for k, v in scene_kw.items()}}
+    keys = ("Overall/L1 mAP", "Overall/L1 mAPH",
+            "Overall/L2 mAP", "Overall/L2 mAPH")
     for b in args.builds.split(","):
-        results[b] = run_build(b, builders[b](), scene_kw, args)
+        runs = []
+        for sd in seeds:
+            tag = b if len(seeds) == 1 else f"{b}@s{sd}"
+            runs.append(run_build(tag, builders[b](), scene_kw, args,
+                                  seed=sd))
+            # checkpoint partial results after every run: a crash or wall
+            # timeout keeps every completed (build, seed) on disk
+            results[b] = {
+                "runs": runs,
+                "ap": {k: round(float(np.mean([r["ap"][k] for r in runs])),
+                                4) for k in keys},
+                "ap_std": {k: round(float(np.std([r["ap"][k] for r in runs])),
+                                    4) for k in keys},
+            }
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
     for dk, sk, label in (("dense", "sparse", "delta_dense_minus_sparse"),
                           ("dense_bf16", "dense", "delta_bf16_minus_f32"),
                           ("fsd_dense", "fsd_sparse",
@@ -197,10 +291,7 @@ def main():
         if dk in results and sk in results:
             d = results[dk]["ap"]
             s = results[sk]["ap"]
-            results[label] = {
-                k: round(d[k] - s[k], 4)
-                for k in ("Overall/L1 mAP", "Overall/L1 mAPH",
-                          "Overall/L2 mAP", "Overall/L2 mAPH")}
+            results[label] = {k: round(d[k] - s[k], 4) for k in keys}
             print(f"{label}:", json.dumps(results[label]))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -118,6 +118,9 @@ def main():
     p.add_argument("--out", default="SOAK_r03.json")
     args = p.parse_args()
 
+    from sst_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     log = soak(args.model, args.steps, args.num_points, args.scene_pool)
     ok = True
     overflowing = {k: v for k, v in log["overflow_keys"].items() if v > 0}

@@ -121,6 +121,9 @@ def main():
 
     if os.environ.get("SST_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+    from sst_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import numpy as np
 
     import sst_tpu.models  # noqa: F401

@@ -66,6 +66,9 @@ def main():
     # Must run before the first jax.devices() call — backend init is sticky.
     if os.environ.get("SST_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SST_TPU_PLATFORM"])
+    from sst_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.coordinator:
         # multi-host: every process joins the coordination service before
