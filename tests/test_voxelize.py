@@ -126,3 +126,45 @@ def test_canvas_unique_matches_sort_unique():
     b2 = unique_segments_canvas(keys, valid, 600, space)
     np.testing.assert_array_equal(np.asarray(a2.seg_ids), np.asarray(b2.seg_ids))
     np.testing.assert_array_equal(np.asarray(a2.counts), np.asarray(b2.counts))
+
+
+def test_dynamic_vfe_extra_sum_rides_cluster_pass(rng):
+    """DynamicVFE(extra_sum=...) must return exact per-voxel sums of the
+    extra channels and the exact cluster mean (the FSDv2 indicator /
+    centroid fusion, models/vfe.py _decorate)."""
+    import jax
+
+    from sst_tpu.models.vfe import DynamicVFE
+
+    p = 300
+    pts = rng.uniform(-4.2, 4.2, size=(p, 5)).astype(np.float32)
+    batch_idx = (rng.rand(p) > 0.5).astype(np.int32)
+    valid = rng.rand(p) > 0.15
+    extra = (rng.rand(p, 2) > 0.5).astype(np.float32)
+    vm = dynamic_voxelize(
+        jnp.asarray(pts), jnp.asarray(batch_idx), jnp.asarray(valid),
+        PCR, VS, max_voxels=256, batch_size=2,
+    )
+    vfe = DynamicVFE(feat_channels=(16, 16), voxel_size=VS,
+                     point_cloud_range=PCR)
+    (feats, aux), _ = jax.jit(
+        lambda: vfe.init_with_output(
+            jax.random.PRNGKey(0), jnp.asarray(pts), vm, False,
+            extra_sum=jnp.asarray(extra)))()
+    seg = np.asarray(vm.point_seg_ids)
+    ok = np.asarray(vm.valid)
+    nvox = int(vm.num_voxel_slots)
+    ref_sum = np.zeros((nvox, 2), np.float32)
+    ref_xyz = np.zeros((nvox, 3), np.float32)
+    ref_cnt = np.zeros(nvox, np.int64)
+    for i in np.where(ok)[0]:
+        ref_sum[seg[i]] += extra[i]
+        ref_xyz[seg[i]] += pts[i, :3]
+        ref_cnt[seg[i]] += 1
+    np.testing.assert_allclose(np.asarray(aux["extra_sum"]), ref_sum,
+                               rtol=1e-5, atol=1e-5)
+    occ = ref_cnt > 0
+    ref_mean = ref_xyz[occ] / ref_cnt[occ, None]
+    np.testing.assert_allclose(np.asarray(aux["cluster_mean"])[occ],
+                               ref_mean, rtol=1e-4, atol=1e-4)
+    assert feats.shape == (nvox, 16)
