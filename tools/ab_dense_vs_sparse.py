@@ -64,7 +64,21 @@ def get_pools(scene_kw, n_train, n_val):
 
     key = tuple(sorted(scene_kw.items()))
     if key not in _POOLS:
+        import hashlib
+        import pickle
+
         t0 = time.time()
+        # disk cache: generation costs ~2-3 s/scene of host numpy (14 min
+        # for 256 full-cap scenes on this 1-vCPU box) and the pools are
+        # pure functions of (scene_kw, counts)
+        h = hashlib.sha1(repr((key, n_train, n_val)).encode()).hexdigest()[:16]
+        cache = f"/tmp/sst_ab_pool_{h}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                _POOLS[key] = pickle.load(f)
+            print(f"[pool] loaded {cache} ({time.time() - t0:.0f}s)",
+                  flush=True)
+            return _POOLS[key]
         train = [_np_batch(synthetic_labeled_batch(seed=s, **scene_kw)[0])
                  for s in range(n_train)]
         val = [synthetic_labeled_batch(seed=10_000 + v, **scene_kw)
@@ -73,6 +87,8 @@ def get_pools(scene_kw, n_train, n_val):
         print(f"[pool] {n_train} train + {n_val} val scenes ready "
               f"({time.time() - t0:.0f}s)", flush=True)
         _POOLS[key] = (train, val)
+        with open(cache, "wb") as f:
+            pickle.dump(_POOLS[key], f)
     return _POOLS[key]
 
 
