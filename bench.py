@@ -419,9 +419,10 @@ def main():
         "baseline_ref_fps": REF_FPS,
         "baseline_provenance": BASELINE_PROVENANCE,
         "note": "synthetic Waymo-density frames (mean over 4); dense-BEV "
-                "TPU-native flagship (bf16, z_groups=4), quality >= the "
-                "sparse reference topology on the same data "
-                "(AB_DENSE_SPARSE_r04.json: 5k-step multi-seed trajectories)",
+                "TPU-native flagship (bf16, z_groups=4); quality evidence: "
+                "matched-step dense-vs-sparse deltas in "
+                "AB_DENSE_SPARSE_r05.json (dense 5k-step multi-seed "
+                "trajectories; sparse arm run to matched steps)",
     }
     if "mfu" in primary:
         rec["mfu"] = primary["mfu"]

@@ -175,8 +175,10 @@ def fsdv2_waymo_dense(max_points: int = 196608, dtype=None,
     dtype defaults to bfloat16 (the measured flagship policy): the 640²
     canvas / BEV maps are HBM-bound, so the dtype halves their bytes, and
     the convs double their MXU rate. f32 islands stay where the modules
-    keep them (BN statistics, box decode, losses); quality is A/B-gated
-    vs the f32 sparse reference topology (AB_DENSE_SPARSE_r04.json).
+    keep them (BN statistics, box decode, losses). Quality gates: the
+    bf16-vs-f32 dense ablation at matched seeds/steps/scenes is
+    AB_DENSE_F32_r05.json (tools/ab_dense_vs_sparse.py --builds dense_f32);
+    dense-vs-sparse topology evidence is AB_DENSE_SPARSE_r05.json.
     Pass dtype=jnp.float32 for the full-precision build."""
     import jax.numpy as jnp
 

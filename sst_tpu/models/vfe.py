@@ -233,6 +233,10 @@ class DynamicVFE(nn.Module):
                 point_feats = jnp.concatenate([point_feats, back], axis=-1)
                 point_feats = jnp.where(valid[:, None], point_feats, 0.0)
         if self.return_point_feats:
+            # honor the documented (out, aux) contract in this branch too:
+            # dropping aux silently would hand a combined caller wrong data
+            if extra_sum is not None:
+                return point_feats, aux
             return point_feats
         out = jnp.where(vm.voxel_valid[:, None], voxel_feats, 0.0)
         if extra_sum is not None:

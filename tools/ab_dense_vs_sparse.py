@@ -62,7 +62,11 @@ def get_pools(scene_kw, n_train, n_val):
     resampling)."""
     from sst_tpu.flagship import synthetic_labeled_batch
 
-    key = tuple(sorted(scene_kw.items()))
+    # in-memory key must include the counts (matching the disk-cache hash):
+    # a second call with different counts would otherwise return the wrong
+    # pool sizes
+    kw_key = tuple(sorted(scene_kw.items()))
+    key = (kw_key, n_train, n_val)
     if key not in _POOLS:
         import hashlib
         import pickle
@@ -70,8 +74,10 @@ def get_pools(scene_kw, n_train, n_val):
         t0 = time.time()
         # disk cache: generation costs ~2-3 s/scene of host numpy (14 min
         # for 256 full-cap scenes on this 1-vCPU box) and the pools are
-        # pure functions of (scene_kw, counts)
-        h = hashlib.sha1(repr((key, n_train, n_val)).encode()).hexdigest()[:16]
+        # pure functions of (scene_kw, counts); hash layout kept stable so
+        # pre-existing caches still hit
+        h = hashlib.sha1(
+            repr((kw_key, n_train, n_val)).encode()).hexdigest()[:16]
         cache = f"/tmp/sst_ab_pool_{h}.pkl"
         if os.path.exists(cache):
             with open(cache, "rb") as f:
@@ -103,8 +109,10 @@ def run_build(name, model, scene_kw, args, seed: int = 0):
     )
     from sst_tpu.train.schedules import FSDDetectionSchedule
 
-    t_start = time.time()
     pool, val_pool = get_pools(scene_kw, args.train_scenes, args.val_scenes)
+    # wall budget starts AFTER pool generation/load: the budget bounds
+    # device time, and the one-off host pool build must not eat it
+    t_start = time.time()
     batch0 = pool[0]
     variables = jax.jit(
         lambda b: model.init(
@@ -115,6 +123,69 @@ def run_build(name, model, scene_kw, args, seed: int = 0):
     state = create_train_state(
         model, variables,
         make_optimizer(base_lr=args.lr, total_steps=args.steps))
+
+    # ---- checkpoint/resume (VERDICT r04 weak #6): every wall-capped or
+    # crashed long arm resumes from its last orbax save instead of zeroing
+    start_step, losses, trajectory, prior_wall = 0, [], [], 0.0
+    ckpt_dir = prog_path = None
+    fingerprint = {"build": name.split("@")[0], "seed": seed,
+                   "steps": args.steps, "train_scenes": args.train_scenes,
+                   "lr": args.lr, "num_points": args.num_points,
+                   "warmup": args.warmup}
+    if args.ckpt_every:
+        ckpt_dir = os.path.join(args.ckpt_dir, name.replace("@", "_"))
+        os.makedirs(ckpt_dir, exist_ok=True)
+        prog_path = os.path.join(ckpt_dir, "progress.json")
+    if args.resume and prog_path and os.path.exists(prog_path):
+        import orbax.checkpoint as ocp
+
+        with open(prog_path) as f:
+            prog = json.load(f)
+        if prog["fingerprint"] != fingerprint:
+            raise SystemExit(
+                f"[{name}] refusing to resume: checkpoint fingerprint "
+                f"{prog['fingerprint']} != current {fingerprint} "
+                f"(use --no-resume or a fresh --ckpt-dir)")
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, f"step_{prog['step']}")),
+            state)
+        start_step = int(prog["step"])
+        losses = prog["losses"]
+        trajectory = [tuple(t) for t in prog["trajectory"]]
+        prior_wall = float(prog["wall_s"])
+        print(f"[{name}] resumed from step {start_step} "
+              f"({prior_wall:.0f}s accumulated)", flush=True)
+
+    def save_ckpt(st, step_done, extra=None):
+        if not ckpt_dir:
+            return
+        import orbax.checkpoint as ocp
+        import shutil
+
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step_done}"))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, st, force=True)
+        ckptr.wait_until_finished()
+        prog = {"step": step_done, "losses": losses,
+                "trajectory": trajectory, "fingerprint": fingerprint,
+                "wall_s": prior_wall + (time.time() - t_start)}
+        if extra:
+            prog.update(extra)
+        tmp = prog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(prog, f)
+        os.replace(tmp, prog_path)
+        # keep the two most recent step dirs (older ones only waste disk)
+        steps_on_disk = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+            if d.startswith("step_") and not d.endswith(".tmp"))
+        for s in steps_on_disk[:-2]:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
+                          ignore_errors=True)
+        print(f"[{name}] checkpointed step {step_done}", flush=True)
 
     predict = jax.jit(lambda v, b: model.apply(v, b, method=model.predict))
 
@@ -139,14 +210,20 @@ def run_build(name, model, scene_kw, args, seed: int = 0):
 
     loss_params = inspect.signature(model.loss).parameters
     step_fns = {}
-    losses = []
-    trajectory = []  # [(step, {metric: val})] — mAPH-over-steps evidence
     shuffle_rng = np.random.RandomState(seed + 17)
     order = shuffle_rng.permutation(args.train_scenes)
     pos = 0
-    step = 0
+    # deterministic fast-forward of the data order to the resume point:
+    # replays exactly the loop's consumption pattern, so a resumed run sees
+    # the identical scene sequence a never-interrupted run would have
+    for _ in range(start_step):
+        if pos >= args.train_scenes:
+            order = shuffle_rng.permutation(args.train_scenes)
+            pos = 0
+        pos += 1
+    step = max(start_step - 1, 0)
     stopped_early = None
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         kw = {k: v for k, v in sched(step).items() if k in loss_params}
         key = tuple(sorted(kw.items()))
         if key not in step_fns:
@@ -174,16 +251,23 @@ def run_build(name, model, scene_kw, args, seed: int = 0):
                              "Overall/L2 mAPH")}))
             print(f"[{name}] step {step + 1}: "
                   f"L1 mAPH={ap_t['Overall/L1 mAPH']}", flush=True)
+        if (args.ckpt_every and (step + 1) % args.ckpt_every == 0
+                and step != args.steps - 1):
+            save_ckpt(state, step + 1)
         if args.max_wall_s and time.time() - t_start > args.max_wall_s:
             stopped_early = step + 1
             print(f"[{name}] wall budget hit at step {step + 1}", flush=True)
+            save_ckpt(state, step + 1,
+                      extra={"stopped_early_at_step": step + 1})
             break
 
     ap = evaluate(state)
     trajectory.append(
         (step + 1, {k: ap[k] for k in ("Overall/L1 mAP", "Overall/L1 mAPH",
                                        "Overall/L2 mAPH")}))
-    wall = time.time() - t_start
+    if stopped_early is None and args.ckpt_every:
+        save_ckpt(state, step + 1, extra={"completed": True})
+    wall = prior_wall + (time.time() - t_start)
     print(f"[{name}] done in {wall:.0f}s  L2 mAPH={ap['Overall/L2 mAPH']}",
           flush=True)
     out = {"ap": ap, "loss_curve": losses, "wall_s": round(wall, 1),
@@ -217,8 +301,18 @@ def main():
     p.add_argument("--eval-every", type=int, default=0,
                    help="held-out eval every N steps (mAPH trajectory)")
     p.add_argument("--max-wall-s", type=int, default=0,
-                   help="per-run wall budget; a run past it stops early "
-                        "(recorded) so one slow arm can't sink the A/B")
+                   help="per-invocation wall budget (pool build excluded); "
+                        "a run past it checkpoints and stops early so one "
+                        "slow arm can't sink the A/B — relaunch with "
+                        "--resume to continue")
+    p.add_argument("--ckpt-every", type=int, default=250,
+                   help="orbax-checkpoint the train state every N steps "
+                        "(0 disables); interrupted arms resume instead of "
+                        "restarting from zero")
+    p.add_argument("--ckpt-dir", default="/tmp/sst_ab_ckpt")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each (build, seed) arm from its latest "
+                        "checkpoint under --ckpt-dir when one exists")
     p.add_argument("--tiny", action="store_true",
                    help="tiny grids on CPU (script smoke test)")
     p.add_argument("--out", default="AB_DENSE_SPARSE.json")
@@ -300,8 +394,11 @@ def main():
             }
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=1)
+    # dtype ablation: "dense" IS the bf16 flagship default since r04, so
+    # the f32 arm is the explicitly-f32 build (the old dense_bf16-vs-dense
+    # pair compared bf16 to itself and measured seed noise)
     for dk, sk, label in (("dense", "sparse", "delta_dense_minus_sparse"),
-                          ("dense_bf16", "dense", "delta_bf16_minus_f32"),
+                          ("dense", "dense_f32", "delta_bf16_minus_f32"),
                           ("fsd_dense", "fsd_sparse",
                            "delta_fsd_dense_minus_sparse")):
         if dk in results and sk in results:
