@@ -41,6 +41,16 @@ def parse_args():
     p.add_argument("--expect-devices", type=int, default=0,
                    help="assert this many local devices are visible "
                         "(dist_train.sh chip-count argument; 0 = any)")
+    p.add_argument("--train-step", default="auto",
+                   choices=("auto", "pjit", "shard_map"),
+                   help="step wiring: 'shard_map' is the DDP-exact step "
+                        "(train/step.py:make_shard_map_train_step) that "
+                        "keeps the fused Pallas kernels (window-MHA, sorted "
+                        "segment-reduce) ON per shard across a multi-chip "
+                        "mesh; 'pjit' lets XLA partition the step (Pallas "
+                        "fast paths fall back to their XLA builds under "
+                        "multi-device pjit). 'auto' = shard_map on "
+                        "multi-device meshes, pjit single-device.")
     # multi-host launch (reference: torch.distributed.launch multi-node env
     # in tools/dist_train.sh:8). One train.py process per host; on Cloud TPU
     # pods --coordinator alone suffices (num-processes/process-id resolved
@@ -166,13 +176,31 @@ def main():
 
     loss_params = set(inspect.signature(model.loss).parameters)
 
+    # step wiring (--train-step): on a multi-device mesh the default is the
+    # DDP-exact shard_map step, which keeps the Pallas fast paths on per
+    # shard (the pjit partitioner can't split a pallas_call, so under pjit
+    # those kernels run their XLA fallback builds). Single-device keeps the
+    # plain jit step — identical numbers, no shard_map tracing overhead.
+    n_mesh_devices = int(mesh.devices.size)
+    use_shard_map = (args.train_step == "shard_map"
+                     or (args.train_step == "auto" and n_mesh_devices > 1))
+    print(f"train step wiring: "
+          f"{'shard_map (DDP-exact)' if use_shard_map else 'pjit'} over "
+          f"{n_mesh_devices} device(s)", flush=True)
+
     def get_step_fn(s):
         kw = sched(s) if sched is not None else {}
         kw = {k: v for k, v in kw.items() if k in loss_params}
         key = tuple(sorted(kw.items()))
         if key not in step_fns:
-            step_fns[key] = make_jitted_train_step(model, mesh,
-                                                   loss_kwargs=kw or None)
+            if use_shard_map:
+                from sst_tpu.train.step import make_shard_map_train_step
+
+                step_fns[key] = make_shard_map_train_step(
+                    model, mesh, loss_kwargs=kw or None)
+            else:
+                step_fns[key] = make_jitted_train_step(model, mesh,
+                                                       loss_kwargs=kw or None)
         return step_fns[key]
 
     # DisableAugmentationHook equivalent: strip aug transforms from the
