@@ -21,23 +21,22 @@ from flax import linen as nn
 from flax import struct
 
 from sst_tpu.models.layers import ACTIVATIONS, MaskedBatchNorm
-from sst_tpu.ops.sparse_conv import (
-    SparseGrid,
-    build_canvas,
-    downsample_grid,
-    gather_gemm,
-    inverse_neighbor_table,
-    strided_neighbor_table,
-    subm_neighbor_table,
+from sst_tpu.ops.sparse_conv import SparseGrid, downsample_grid
+from sst_tpu.ops.sparse_conv_pallas import (
+    ConvPlan,
+    build_conv_plans,
+    build_window_plan,
+    use_window_plans,
+    windowed_sparse_conv,
 )
 
 
 @struct.dataclass
 class UNetPlan:
     levels: tuple  # tuple[SparseGrid], level 0 = input resolution
-    subm_nbr: tuple  # [27, V_l] per level
-    down_nbr: tuple  # [27, V_l] (inputs indices at level l-1), for l >= 1
-    inv_nbr: tuple  # [27, V_{l-1}] (indices into level l), for l >= 1
+    subm: tuple  # ConvPlan per level
+    down: tuple  # ConvPlan level l-1 → l, for l >= 1
+    inv: tuple  # ConvPlan level l → l-1, for l >= 1
 
 
 def build_unet_plan(
@@ -47,24 +46,38 @@ def build_unet_plan(
     paddings: Sequence[tuple],
 ) -> UNetPlan:
     """Args: level_caps[0] must equal sg0.cap; strides/paddings for each
-    downsample (len == num_levels - 1)."""
+    downsample (len == num_levels - 1).
+
+    On TPU each conv family gets a Pallas window plan (bounds + aux lanes,
+    ops/sparse_conv_pallas.py) — the strided/inverse pair at one level
+    share their two window plans as each other's transpose.  Off-TPU the
+    plans hold XLA neighbor tables instead (same semantics)."""
     assert level_caps[0] == sg0.cap
+    use_w = use_window_plans()
     levels = [sg0]
-    canvases = [build_canvas(sg0)]
-    subm = [subm_neighbor_table(sg0, canvases[0])]
+    subm = [build_conv_plans(sg0, sg0, "subm", use_windows=use_w)]
     down, inv = [], []
     for i, (s, p) in enumerate(zip(strides, paddings)):
         prev = levels[-1]
         nxt = downsample_grid(prev, level_caps[i + 1], s, p)
-        cv = build_canvas(nxt)
         levels.append(nxt)
-        canvases.append(cv)
-        subm.append(subm_neighbor_table(nxt, cv))
-        down.append(strided_neighbor_table(nxt, prev, canvases[-2], s, p))
-        inv.append(inverse_neighbor_table(prev, nxt, cv, s, p))
+        subm.append(build_conv_plans(nxt, nxt, "subm", use_windows=use_w))
+        big = prev.grid[0] * prev.grid[1] * prev.grid[2] >= (1 << 24)
+        if use_w and not big:
+            wp_s = build_window_plan(nxt, prev, "strided", s, p)
+            wp_i = build_window_plan(prev, nxt, "inverse", s, p)
+            down.append(ConvPlan(fwd=wp_s, bwd=wp_i, out_sg=nxt,
+                                 in_grid=prev.grid, stride=s, padding=p))
+            inv.append(ConvPlan(fwd=wp_i, bwd=wp_s, out_sg=prev,
+                                in_grid=nxt.grid, stride=s, padding=p))
+        else:
+            down.append(build_conv_plans(nxt, prev, "strided", s, p,
+                                         use_windows=False))
+            inv.append(build_conv_plans(prev, nxt, "inverse", s, p,
+                                        use_windows=False))
     return UNetPlan(
-        levels=tuple(levels), subm_nbr=tuple(subm),
-        down_nbr=tuple(down), inv_nbr=tuple(inv),
+        levels=tuple(levels), subm=tuple(subm),
+        down=tuple(down), inv=tuple(inv),
     )
 
 
@@ -78,15 +91,14 @@ class SparseConvLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, nbr, out_valid, train: bool):
-        k = nbr.shape[0]
+    def __call__(self, feats, cp: ConvPlan, out_valid, train: bool):
         cin = feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (k, cin, self.out_channels), jnp.float32,
+            (27, cin, self.out_channels), jnp.float32,
         )
-        x = gather_gemm(feats, nbr, w)
+        x = windowed_sparse_conv(feats, w.astype(feats.dtype), cp)
         x = jnp.where(out_valid[:, None], x, 0.0)
         if self.use_norm:
             x = MaskedBatchNorm(dtype=self.dtype)(x, out_valid, train)
@@ -102,12 +114,12 @@ class SparseBasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, nbr, valid, train: bool):
+    def __call__(self, feats, cp: ConvPlan, valid, train: bool):
         identity = feats
         x = SparseConvLayer(self.channels, act=self.act, dtype=self.dtype,
-                            name="conv1")(feats, nbr, valid, train)
+                            name="conv1")(feats, cp, valid, train)
         x = SparseConvLayer(self.channels, act="none", dtype=self.dtype,
-                            name="conv2")(x, nbr, valid, train)
+                            name="conv2")(x, cp, valid, train)
         if identity.shape[-1] != self.channels:
             identity = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
                                 name="downsample")(identity)
@@ -143,7 +155,7 @@ class SimpleSparseUNet(nn.Module):
             if self.remat else SparseBasicBlock
         x = conv_cls(self.base_channels, act=self.act, dtype=self.dtype,
                      name="conv_input")(
-            feats, plan.subm_nbr[0], plan.levels[0].valid, train)
+            feats, plan.subm[0], plan.levels[0].valid, train)
 
         encode = []
         for i, blocks in enumerate(self.encoder_channels):
@@ -154,12 +166,12 @@ class SimpleSparseUNet(nn.Module):
                     x = conv_cls(
                         c, act=self.act, dtype=self.dtype,
                         name=f"encoder_{i}_{j}_down",
-                    )(x, plan.down_nbr[i - 1], plan.levels[i].valid, train)
+                    )(x, plan.down[i - 1], plan.levels[i].valid, train)
                 else:
                     x = conv_cls(
                         c, act=self.act, dtype=self.dtype,
                         name=f"encoder_{i}_{j}",
-                    )(x, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+                    )(x, plan.subm[lvl], plan.levels[lvl].valid, train)
             encode.append(x)
 
         # decoder: stage s from num_stages down to 1
@@ -170,11 +182,11 @@ class SimpleSparseUNet(nn.Module):
             lvl = s - 1
             lateral = block_cls(
                 chans[0], act=self.act, dtype=self.dtype, name=f"lateral_{s}"
-            )(encode[lvl], plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+            )(encode[lvl], plan.subm[lvl], plan.levels[lvl].valid, train)
             cat = jnp.concatenate([x, lateral], axis=-1)
             merge = conv_cls(
                 chans[1], act=self.act, dtype=self.dtype, name=f"merge_{s}"
-            )(cat, plan.subm_nbr[lvl], plan.levels[lvl].valid, train)
+            )(cat, plan.subm[lvl], plan.levels[lvl].valid, train)
             # channel-reduce residual (sparse_unet.py:189-206)
             n, cin = cat.shape
             red = cat.reshape(n, chans[1], cin // chans[1]).sum(-1)
@@ -183,12 +195,12 @@ class SimpleSparseUNet(nn.Module):
                 x = conv_cls(
                     chans[2], act=self.act, dtype=self.dtype,
                     name=f"upsample_{s}",
-                )(x, plan.inv_nbr[lvl - 1], plan.levels[lvl - 1].valid, train)
+                )(x, plan.inv[lvl - 1], plan.levels[lvl - 1].valid, train)
             else:
                 x = conv_cls(
                     chans[2], act=self.act, dtype=self.dtype,
                     name=f"upsample_{s}",
-                )(x, plan.subm_nbr[0], plan.levels[0].valid, train)
+                )(x, plan.subm[0], plan.levels[0].valid, train)
             decode.append(x)
 
         out = {
@@ -223,5 +235,5 @@ class VirtualVoxelMixer(nn.Module):
         )(feats, plan, train)
         x = SparseConvLayer(
             self.output_channels, act=self.act, dtype=self.dtype, name="conv_out",
-        )(out["voxel_feats"], plan.subm_nbr[0], plan.levels[0].valid, train)
+        )(out["voxel_feats"], plan.subm[0], plan.levels[0].valid, train)
         return x

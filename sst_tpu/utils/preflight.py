@@ -15,6 +15,7 @@ from __future__ import annotations
 KILL_SWITCH = {
     "sorted_reduce": "SST_TPU_NO_SORTED_REDUCE",
     "window_mha": "SST_TPU_NO_PALLAS_MHA",
+    "sparse_conv": "SST_TPU_NO_SPARSE_CONV_PALLAS",
 }
 
 
@@ -70,6 +71,45 @@ def _check_window_mha() -> None:
                 f"window_mha numerics w={w} t={t}: maxdiff={err:.3e}")
 
 
+def _check_sparse_conv() -> None:
+    """Windowed rulebook conv (ops/sparse_conv_pallas.py) vs the XLA
+    neighbor-table path at FSD segmentor level-0 scale (configs/fsd:
+    131072-voxel cap, ~0.25 m grid)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sst_tpu.ops import sparse_conv_pallas as scp
+    from sst_tpu.ops.sparse_conv import downsample_grid, make_sparse_grid
+
+    rng = np.random.default_rng(2)
+    grid, cap = (32, 640, 640), 131072
+    plane = grid[0] * grid[1] * grid[2]
+    keys = np.unique(rng.integers(0, plane, size=120_000))
+    n = min(len(keys), cap)
+    coords = np.full((cap, 4), -1, np.int32)
+    coords[:n, 0] = 0
+    coords[:n, 1] = keys[:n] // (grid[1] * grid[2])
+    coords[:n, 2] = (keys[:n] // grid[2]) % grid[1]
+    coords[:n, 3] = keys[:n] % grid[2]
+    valid = np.arange(cap) < n
+    sg, _ = make_sparse_grid(jnp.asarray(coords), jnp.asarray(valid), grid, 1)
+    down = downsample_grid(sg, cap // 2)
+
+    feats = jnp.asarray(rng.normal(size=(cap, 64)).astype(np.float32))
+    feats = jnp.where(sg.valid[:, None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, 64, 64)).astype(np.float32) * 0.1)
+
+    for mode, out_sg, in_sg, f in (("subm", sg, sg, feats),
+                                   ("strided", down, sg, feats)):
+        ref = scp.build_conv_plans(out_sg, in_sg, mode, use_windows=False)
+        fast = scp.build_conv_plans(out_sg, in_sg, mode, use_windows=True)
+        a = np.asarray(scp.windowed_sparse_conv(f, w, ref))
+        b = np.asarray(scp.windowed_sparse_conv(f, w, fast))
+        if not np.allclose(a, b, rtol=1e-4, atol=1e-4):
+            raise AssertionError(
+                f"sparse_conv {mode}: maxdiff={np.abs(a - b).max():.3e}")
+
+
 def preflight_pallas(set_env: bool = True) -> dict:
     """Compile+validate each Pallas kernel on the current backend.
 
@@ -81,7 +121,8 @@ def preflight_pallas(set_env: bool = True) -> dict:
 
     results = {}
     for name, check in (("sorted_reduce", _check_sorted_reduce),
-                        ("window_mha", _check_window_mha)):
+                        ("window_mha", _check_window_mha),
+                        ("sparse_conv", _check_sparse_conv)):
         try:
             check()
             results[name] = "ok"
