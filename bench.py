@@ -111,13 +111,19 @@ def _bench_predict(model, frames, variables=None, with_analysis=False):
             out["model_tflops_per_frame"] = round(flops / 1e12, 3)
             out["mfu"] = mfu(flops, per)
         try:
+            hlo = None
+            if compiled is not None:
+                try:  # fusion decomposition (classify_hlo_fusions)
+                    hlo = compiled.as_text()
+                except Exception:
+                    hlo = None
             bd = trace_and_breakdown(
-                lambda: predict(variables, frames[0]), _drain)
+                lambda: predict(variables, frames[0]), _drain, hlo_text=hlo)
             out["breakdown"] = {
                 "device_ms_per_frame": bd["per_iter_ms"],
                 "mxu_pct_lower_bound": bd["mxu_pct_lower_bound"],
                 "classes_ms": dict(list(
-                    bd["classes_per_iter_ms"].items())[:8]),
+                    bd["classes_per_iter_ms"].items())[:10]),
             }
         except Exception as e:
             out["breakdown_error"] = repr(e)[:150]
