@@ -238,7 +238,8 @@ def bench_fsd_dense(num_points: int = 196608):
     return bench_fsd(num_points, config="configs/fsd/fsd_waymoD1_1x_dense.py")
 
 
-def bench_fsdpp(num_points: int = 262144):
+def bench_fsdpp(num_points: int = 262144,
+                config: str = "configs/fsdpp/fsdpp_waymo_2x.py"):
     """FSD++ per-frame amortized cost: one TwoStageFSDPP.predict on a
     residual+seed-crop TemporalBatch at configs/fsdpp caps (the sequential
     eval loop adds only host bookkeeping around this call)."""
@@ -250,7 +251,7 @@ def bench_fsdpp(num_points: int = 262144):
     from sst_tpu.utils.builders import build_model_from_cfg
     from sst_tpu.utils.config import load_config
 
-    cfg = load_config("configs/fsdpp/fsdpp_waymo_2x.py")
+    cfg = load_config(config)
     model = build_model_from_cfg(cfg, train=False)
 
     def mk(seed):
@@ -279,6 +280,14 @@ def bench_fsdpp(num_points: int = 262144):
         )
 
     return _bench_predict(model, _frame_pool(mk))
+
+
+def bench_fsdpp_dense(num_points: int = 262144):
+    """FSD++ with the dense-BEV segmentor over the residual buffer
+    (configs/fsdpp/fsdpp_waymo_2x_dense.py) — the A/B-validated FSD-family
+    segmentor swap applied to the incremental detector."""
+    return bench_fsdpp(num_points,
+                       config="configs/fsdpp/fsdpp_waymo_2x_dense.py")
 
 
 def bench_ctrl():
@@ -358,7 +367,8 @@ def _bench_subprocess(which: str, timeout: int = 1500,
 
 
 # every Pallas kernel disabled — the scatter/einsum degrade build
-_NO_PALLAS_ENV = {"SST_TPU_NO_SORTED_REDUCE": "1",
+_NO_PALLAS_ENV = {"SST_TPU_NO_SPARSE_CONV_PALLAS": "1",
+                  "SST_TPU_NO_SORTED_REDUCE": "1",
                   "SST_TPU_NO_PALLAS_MHA": "1"}
 
 
@@ -399,11 +409,14 @@ def main():
     extra = {}
     # FSD-family cold compiles exceed 25 min on the remote compiler (the
     # persistent cache makes warm runs ~3 min); budget accordingly
-    budgets = {"fsd": 2700, "fsd_dense": 2700, "fsdpp": 2700}
+    budgets = {"fsd": 2700, "fsd_dense": 2700, "fsdpp": 2700,
+               "fsdpp_dense": 2700, "fsdv2_sparse": 2700}
     for fam, key in (("fsdv2_b4", "fsdv2_batch4"),
                      ("sst", "sst"), ("fsd", "fsd_two_stage"),
                      ("fsd_dense", "fsd_two_stage_dense"),
-                     ("fsdpp", "fsdpp"), ("ctrl", "ctrl")):
+                     ("fsdv2_sparse", "fsdv2_sparse"),
+                     ("fsdpp", "fsdpp"), ("fsdpp_dense", "fsdpp_dense"),
+                     ("ctrl", "ctrl")):
         try:
             r = _bench_family(fam, timeout=budgets.get(fam, 1500))
             unit = "tracks" if fam == "ctrl" else "frames"
