@@ -9,8 +9,14 @@ feather schema and calls the external av2 evaluation package. Here:
 - argo2_eval reimplements the av2 protocol in numpy: 3D center-distance
   matching at {0.5, 1, 2, 4} m, all-point AP, TP errors at 2 m (ATE, ASE,
   AOE), and CDS = mAP * mean(1 - normalized error) with av2's normalization
-  bounds (ATE/2, ASE, AOE/pi) — a documented approximation of the av2
-  package's exact composite.
+  bounds (ATE / tp_threshold_m = 2 m, ASE / 1, AOE / pi) — the devkit's own
+  composite (av2 evaluation summarize());
+- prune_frames_to_roi applies DetectionCfg(eval_only_roi_instances=True)
+  semantics (argo2_dataset.py:509-519) via the self-contained HD-map reader
+  in core/av2_map.py: a cuboid survives iff any of its 8 vertices lies in
+  the 5 m-dilated drivable-area (ROI) raster and its ego-range is within
+  max_range_m. Run it over predictions and ground truths before argo2_eval
+  to reproduce the official ROI-filtered protocol.
 """
 
 from __future__ import annotations
@@ -66,6 +72,49 @@ def format_results_feather(results, infos, classes, path: str):
         path += ".feather"
     dts.to_feather(path)
     return path
+
+
+def prune_frames_to_roi(predictions, ground_truths, infos, dataset_dir,
+                        max_range_m=200.0):
+    """ROI + range pruning of per-frame prediction/gt dicts, reproducing
+    DetectionCfg(eval_only_roi_instances=True, max_range_m=200) in the av2
+    evaluator (reference call site argo2_dataset.py:509-519).
+
+    predictions[i]/ground_truths[i] hold ego(lidar)-frame bottom-center
+    boxes [x y z dx dy dz yaw ...]; infos[i]['uuid'] = 'log_id/timestamp_ns';
+    dataset_dir is the av2 sensor-split directory holding per-log map/ and
+    ego-pose files. Returns filtered (predictions, ground_truths)."""
+    from .av2_map import (box_corners_3d, load_mapped_avm_and_egoposes)
+
+    log_ids = sorted({str(i["uuid"]).split("/")[0] for i in infos})
+    log_to_avm, log_to_pose = load_mapped_avm_and_egoposes(
+        log_ids, dataset_dir)
+
+    def keep_mask(boxes, avm, se3):
+        boxes = np.asarray(boxes, np.float64)
+        if boxes.size == 0:
+            return np.zeros(0, bool)
+        grav = boxes[:, :7].copy()
+        grav[:, 2] += boxes[:, 5] / 2
+        rng = np.linalg.norm(grav[:, :3], axis=1) <= max_range_m
+        corners = box_corners_3d(grav).reshape(-1, 3)
+        corners_city = se3.transform_point_cloud(corners)
+        in_roi = avm.get_raster_layer_points_boolean(corners_city, "roi")
+        return rng & in_roi.reshape(-1, 8).any(axis=1)
+
+    preds_out, gts_out = [], []
+    for pred, gt, info in zip(predictions, ground_truths, infos):
+        log_id, ts = str(info["uuid"]).split("/")
+        avm, se3 = log_to_avm[log_id], log_to_pose[log_id][int(ts)]
+        pk = keep_mask(pred["boxes"], avm, se3)
+        gk = keep_mask(gt["boxes"], avm, se3)
+        preds_out.append({
+            "boxes": np.asarray(pred["boxes"])[pk],
+            "scores": np.asarray(pred["scores"])[pk],
+            "labels": np.asarray(pred["labels"])[pk]})
+        gts_out.append({"boxes": np.asarray(gt["boxes"])[gk],
+                        "labels": np.asarray(gt["labels"])[gk]})
+    return preds_out, gts_out
 
 
 def _center3d(boxes):
