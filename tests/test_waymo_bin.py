@@ -151,3 +151,51 @@ def test_create_submission_round_trip(tmp_path):
         objs = [v for fn, wt, v in _parse_fields(by_num[11][0]) if fn == 1]
         total += len(objs)
     assert total == 3  # every object in exactly one shard
+
+
+def test_create_seed_boxes_from_bin_cli(tmp_path):
+    """End-to-end: bin written by our codec -> FSD++ seed pkl, matching
+    the reference tools/fsdpp/create_seed_boxes_from_bin.py semantics
+    (ts2idx keying, lidar-frame boxes, score passthrough)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    from sst_tpu.core.waymo_bin import write_waymo_bin
+
+    rng = np.random.RandomState(3)
+    frames = []
+    idx2ts = {}
+    for i, ts in enumerate([1510593618340000, 1510593618440000]):
+        boxes = np.concatenate(
+            [rng.uniform(-40, 40, (3, 3)), rng.uniform(1, 4, (3, 3)),
+             rng.uniform(-3, 3, (3, 1))], axis=1).astype(np.float32)
+        frames.append(dict(
+            boxes=boxes, scores=np.array([0.9, 0.2, 0.6], np.float32),
+            labels=np.array([0, 1, 2]), context_name="ctx",
+            timestamp_micros=ts))
+        idx2ts[f"{i:07d}"] = ts
+    bin_path = str(tmp_path / "results.bin")
+    write_waymo_bin(bin_path, frames)
+    map_path = str(tmp_path / "idx2timestamp.pkl")
+    with open(map_path, "wb") as f:
+        pickle.dump(idx2ts, f)
+
+    out = str(tmp_path / "seeds.pkl")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo,
+                                      "tools/fsdpp/create_seed_boxes_from_bin.py"),
+         "--bin", bin_path, "--idx2ts", map_path, "--out", out,
+         "--score-thr", "0.5"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        seeds = pickle.load(f)
+    assert set(seeds) == {"0000000", "0000001"}
+    s0 = seeds["0000000"]
+    # score 0.2 row filtered; lidar-frame round trip of the kept rows
+    assert s0["boxes"].shape == (2, 7) and s0["labels"].tolist() == [0, 2]
+    np.testing.assert_allclose(
+        s0["boxes"][0, :6], frames[0]["boxes"][0, :6], atol=1e-6)
