@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sst_tpu.models.sparse_unet import SparseConvLayer
+from sst_tpu.ops.sparse_conv_pallas import ConvPlan
 from sst_tpu.ops.sparse_conv import (
     SparseGrid,
     _zselect,
@@ -135,7 +136,7 @@ class SparseEncoder(nn.Module):
 
         x = SparseConvLayer(
             self.base_channels, dtype=self.dtype, name="conv_input",
-        )(voxel_features, nbr0, sg.valid, train)
+        )(voxel_features, ConvPlan(nbr=nbr0), sg.valid, train)
 
         cur_sg, cur_canvas, cur_nbr = sg, canvas, nbr0
         for i, blocks in enumerate(self.encoder_channels):
@@ -149,19 +150,19 @@ class SparseEncoder(nn.Module):
                         nxt, cur_sg, cur_canvas, (2, 2, 2), pad)
                     x = SparseConvLayer(
                         c, dtype=self.dtype, name=f"encoder_{i}_{j}_down",
-                    )(x, dn, nxt.valid, train)
+                    )(x, ConvPlan(nbr=dn), nxt.valid, train)
                     cur_sg = nxt
                     cur_canvas = build_canvas(cur_sg)
                     cur_nbr = subm_neighbor_table(cur_sg, cur_canvas)
                 else:
                     x = SparseConvLayer(
                         c, dtype=self.dtype, name=f"encoder_{i}_{j}",
-                    )(x, cur_nbr, cur_sg.valid, train)
+                    )(x, ConvPlan(nbr=cur_nbr), cur_sg.valid, train)
 
         out_sg, znbr = zdown_grid_and_table(cur_sg, cur_canvas, cur_sg.cap)
         x = SparseConvLayer(
             self.output_channels, dtype=self.dtype, name="conv_out",
-        )(x, znbr, out_sg.valid, train)
+        )(x, ConvPlan(nbr=znbr), out_sg.valid, train)
 
         # densify: [V, C] -> [B, oz, ny, nx, C] -> NHWC [B, ny, nx, oz * C]
         oz, ny, nx = out_sg.grid

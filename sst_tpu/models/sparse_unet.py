@@ -93,10 +93,13 @@ class SparseConvLayer(nn.Module):
     @nn.compact
     def __call__(self, feats, cp: ConvPlan, out_valid, train: bool):
         cin = feats.shape[-1]
+        # window plans are always 27-tap; an explicit XLA table may carry
+        # fewer (e.g. SparseEncoder's z-only (3,1,1) conv_out)
+        k = cp.nbr.shape[0] if cp.nbr is not None else 27
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
-            (27, cin, self.out_channels), jnp.float32,
+            (k, cin, self.out_channels), jnp.float32,
         )
         x = windowed_sparse_conv(feats, w.astype(feats.dtype), cp)
         x = jnp.where(out_valid[:, None], x, 0.0)
